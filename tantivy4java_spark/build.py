@@ -1,0 +1,535 @@
+"""Index build: segments -> hierarchical merge -> global index tables.
+
+Mirrors the reference's build lifecycle (SURVEY.md §3.3) Spark-first:
+
+  reference                                  here
+  ---------------------------------------   ----------------------------------
+  IndexWriter N threads -> N segments        N doc-range segments, each a Spark
+  (native/src/index.rs:177)                  job writing independent Parquet
+  writer.commit() -> opstamp                 manifest "add" line per segment
+  QuickwitSplit.convertIndex + mergeSplits   merge job: re-block postings per
+  (native/src/quickwit_split/merge_impl.rs)  (field,term,shard), global stats
+  txlog Add actions w/ stats                 _manifest/manifest.jsonl lineage
+  (native/src/txlog/actions.rs:182-241)      rows enabling zero-recompute resume
+
+Physical layout under ``index_dir``:
+  docs/        doc_id, <id_cols>, content_sha256, len_<f>, norm_<f>
+  postings/    field, term, shard, block_id, first_doc, last_doc, count,
+               docs_bin, tfs_bin, norms_bin, max_tf, block_max_score
+  positions/   field, term, doc_id, positions array<int>
+  terms/       field, term, df, total_tf
+  stats.json   per-field num_docs / total_tokens / avgdl (+ global num_docs)
+  _manifest/manifest.jsonl
+
+Scale notes (the design target is ~10^12 files on a multi-executor cluster):
+- posting shards are doc_id ranges (``doc_id >> shard_bits``): skewed terms
+  ("import", "return") split across shards, every groupBy key is bounded by
+  the shard width -> no hot reducer; shards are doc-ordered so merged posting
+  lists are concatenations, never re-sorts.
+- segments are doc-range slices committed independently -> an interrupted
+  build resumes from the manifest without recomputing finished segments.
+- the only shuffles are (a) one repartition by (field,term,shard) per segment
+  and (b) the same key at merge; both scale horizontally with executors.
+- tokenization defaults to the pure-Catalyst expression (whole-stage codegen,
+  zero Python); the pandas-UDF path is kept for golden parity tests.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import time
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tantivy4java_spark import codec
+from tantivy4java_spark.analysis import sql_tokenize_expr, tokenize_udf
+from tantivy4java_spark.fieldnorm import fieldnorm_to_id
+from tantivy4java_spark.schema import FieldConfig, IndexConfig
+from tantivy4java_spark.scoring import B, K1, idf_weight
+
+_POSTINGS_SCHEMA = T.StructType([
+    T.StructField("field", T.StringType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("shard", T.LongType()),
+    T.StructField("block_id", T.LongType()),
+    T.StructField("first_doc", T.LongType()),
+    T.StructField("last_doc", T.LongType()),
+    T.StructField("count", T.LongType()),
+    T.StructField("docs_bin", T.BinaryType()),
+    T.StructField("tfs_bin", T.BinaryType()),
+    T.StructField("norms_bin", T.BinaryType()),
+    T.StructField("max_tf", T.LongType()),
+    T.StructField("block_max_score", T.DoubleType()),
+])
+
+
+def assign_doc_ids(df: DataFrame, order_cols: Optional[List[str]] = None,
+                   doc_id_col: Optional[str] = None) -> DataFrame:
+    """Deterministic doc_id assignment.
+
+    - ``doc_id_col``: pass through an existing unique integer column.
+    - ``order_cols``: global sort + row_number (exact, used at test scale and
+      for golden rank-identity; one shuffle).
+    - neither: scalable two-pass zipWithIndex — per-partition counts collected
+      (tiny), then offset + local ordinal inside mapInPandas.  Deterministic
+      for a fixed input file layout (doc_id = file-order position), which is
+      the 10^12-scale mode.
+    """
+    if doc_id_col:
+        return df.withColumn("doc_id", F.col(doc_id_col).cast("long"))
+    if order_cols:
+        w = Window.orderBy(*[F.col(c) for c in order_cols])
+        return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+
+    part_counts = (
+        df.withColumn("_pid", F.spark_partition_id())
+        .groupBy("_pid").count().collect()
+    )
+    counts = {r["_pid"]: r["count"] for r in part_counts}
+    offsets = {}
+    acc = 0
+    for pid in sorted(counts):
+        offsets[pid] = acc
+        acc += counts[pid]
+    schema = T.StructType(df.schema.fields + [T.StructField("doc_id", T.LongType())])
+    b_offsets = offsets
+
+    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["doc_id"] = np.arange(seen, seen + len(pdf), dtype=np.int64) + b_offsets.get(pid, 0)
+            seen += len(pdf)
+            yield pdf
+
+    return df.mapInPandas(add_ids, schema)
+
+
+def _norm_id_udf():
+    @F.pandas_udf(T.IntegerType())
+    def _norm(lengths: pd.Series) -> pd.Series:
+        return pd.Series(fieldnorm_to_id(lengths.fillna(0).to_numpy()).astype(np.int32))
+    return _norm
+
+
+def _encode_blocks_fn(block_size: int, with_scores: bool,
+                      idf_map=None, norm_decode=None, avgdl_map=None):
+    """mapInPandas fn: (field,term,shard,doc_id,tf,norm_id[,idf_w]) -> block rows.
+
+    Input partitions are sorted by (field,term,shard,doc_id); groups are
+    contiguous, all numpy inside.
+    """
+
+    def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("field", "term", "shard", "block_id", "first_doc",
+                                   "last_doc", "count", "docs_bin", "tfs_bin",
+                                   "norms_bin", "max_tf", "block_max_score")}
+            for (field, term, shard), g in pdf.groupby(["field", "term", "shard"], sort=False):
+                docs = g["doc_id"].to_numpy(dtype=np.int64)
+                tfs = g["tf"].to_numpy(dtype=np.int64)
+                norms = g["norm_id"].to_numpy(dtype=np.int64)
+                order = np.argsort(docs, kind="stable")
+                docs, tfs, norms = docs[order], tfs[order], norms[order]
+                if with_scores:
+                    idf_w = float(g["idf_w"].iloc[0])
+                    avgdl = avgdl_map[field]
+                    lens = norm_decode[norms]
+                    scores = idf_w * tfs / (tfs + K1 * (1.0 - B + B * lens / avgdl))
+                n = docs.size
+                for b, start in enumerate(range(0, n, block_size)):
+                    end = min(start + block_size, n)
+                    d, t, m = docs[start:end], tfs[start:end], norms[start:end]
+                    out["field"].append(field)
+                    out["term"].append(term)
+                    out["shard"].append(shard)
+                    out["block_id"].append(b)
+                    out["first_doc"].append(int(d[0]))
+                    out["last_doc"].append(int(d[-1]))
+                    out["count"].append(end - start)
+                    out["docs_bin"].append(codec.encode_doc_block(d, base=int(d[0])))
+                    out["tfs_bin"].append(codec.encode_tf_block(t))
+                    out["norms_bin"].append(m.astype(np.uint8).tobytes())
+                    out["max_tf"].append(int(t.max()))
+                    out["block_max_score"].append(
+                        float(scores[start:end].max()) if with_scores else 0.0)
+            yield pd.DataFrame(out)
+
+    return encode
+
+
+def _decode_reencode_fn(block_size: int, norm_decode, avgdl_map):
+    """Merge-phase mapInPandas: decode segment blocks per (field,term,shard)
+    (already doc-ordered across segments since segment doc ranges are
+    disjoint and rows are sorted by first_doc), concat, re-block with final
+    block_max_score."""
+
+    def merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in ("field", "term", "shard", "block_id", "first_doc",
+                                   "last_doc", "count", "docs_bin", "tfs_bin",
+                                   "norms_bin", "max_tf", "block_max_score")}
+            for (field, term, shard), g in pdf.groupby(["field", "term", "shard"], sort=False):
+                docs_l, tfs_l, norms_l = [], [], []
+                for first, cnt, dbin, tbin, nbin in zip(
+                        g["first_doc"].to_numpy(), g["count"].to_numpy(),
+                        g["docs_bin"], g["tfs_bin"], g["norms_bin"]):
+                    c = int(cnt)
+                    docs_l.append(codec.decode_doc_block(dbin, int(first), c))
+                    tfs_l.append(codec.decode_tf_block(tbin, c))
+                    norms_l.append(np.frombuffer(nbin, dtype=np.uint8).astype(np.int64))
+                docs = np.concatenate(docs_l)
+                tfs = np.concatenate(tfs_l)
+                norms = np.concatenate(norms_l)
+                order = np.argsort(docs, kind="stable")
+                docs, tfs, norms = docs[order], tfs[order], norms[order]
+                idf_w = float(g["idf_w"].iloc[0])
+                avgdl = avgdl_map[field]
+                lens = norm_decode[norms]
+                scores = idf_w * tfs / (tfs + K1 * (1.0 - B + B * lens / avgdl))
+                n = docs.size
+                for b, start in enumerate(range(0, n, block_size)):
+                    end = min(start + block_size, n)
+                    d, t, m = docs[start:end], tfs[start:end], norms[start:end]
+                    out["field"].append(field)
+                    out["term"].append(term)
+                    out["shard"].append(shard)
+                    out["block_id"].append(b)
+                    out["first_doc"].append(int(d[0]))
+                    out["last_doc"].append(int(d[-1]))
+                    out["count"].append(end - start)
+                    out["docs_bin"].append(codec.encode_doc_block(d, base=int(d[0])))
+                    out["tfs_bin"].append(codec.encode_tf_block(t))
+                    out["norms_bin"].append(m.astype(np.uint8).tobytes())
+                    out["max_tf"].append(int(t.max()))
+                    out["block_max_score"].append(float(scores[start:end].max()))
+            yield pd.DataFrame(out)
+
+    return merge
+
+
+@dataclass
+class BuildStats:
+    num_docs: int
+    segments: int
+    wall_sec: float
+    docs_per_sec: float
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, config: IndexConfig, index_dir: str,
+                 use_sql_tokenizer: bool = True, num_segments: int = 1,
+                 shuffle_partitions: Optional[int] = None):
+        self.spark = spark
+        self.config = config
+        self.index_dir = index_dir.rstrip("/")
+        self.use_sql_tokenizer = use_sql_tokenizer
+        self.num_segments = num_segments
+        self.shuffle_partitions = shuffle_partitions
+
+    # -- paths ------------------------------------------------------------
+    def _p(self, *parts) -> str:
+        return os.path.join(self.index_dir, *parts)
+
+    @property
+    def manifest_path(self) -> str:
+        return self._p("_manifest", "manifest.jsonl")
+
+    def _manifest_actions(self) -> List[dict]:
+        if not os.path.exists(self.manifest_path):
+            return []
+        with open(self.manifest_path) as fh:
+            return [json.loads(line) for line in fh if line.strip()]
+
+    def _append_manifest(self, action: dict) -> None:
+        os.makedirs(os.path.dirname(self.manifest_path), exist_ok=True)
+        action = dict(action, ts=time.time())
+        with open(self.manifest_path, "a") as fh:
+            fh.write(json.dumps(action, sort_keys=True) + "\n")
+
+    # -- tokenization -----------------------------------------------------
+    def _tokens_expr(self, fc: FieldConfig):
+        col = F.col(fc.name).cast("string")
+        if self.use_sql_tokenizer:
+            return sql_tokenize_expr(col, fc.tokenizer, fc.token_limit)
+        return tokenize_udf(fc.tokenizer, fc.token_limit)(col)
+
+    # -- segment build ----------------------------------------------------
+    def _build_segment(self, seg_df: DataFrame, seg_id: int) -> dict:
+        cfg = self.config
+        t0 = time.time()
+        seg_dir = self._p("segments", f"seg={seg_id:05d}")
+        norm_udf = _norm_id_udf()
+
+        # docs table row: ids + sha256 + per-field token arrays/lengths/norms
+        sel = [F.col("doc_id")] + [F.col(c) for c in cfg.id_cols if c != "doc_id"]
+        if cfg.content_col:
+            sel.append(F.sha2(F.col(cfg.content_col).cast("string"), 256).alias("content_sha256"))
+        tok_cols = []
+        for fc in cfg.text_fields:
+            tcol = f"_toks_{fc.name}"
+            tok_cols.append((fc, tcol))
+            sel.append(self._tokens_expr(fc).alias(tcol))
+        for fc in cfg.fields:
+            if not fc.tokenized and fc.type != "string":
+                sel.append(F.col(fc.name))
+        docs = seg_df.select(*sel)
+        for fc, tcol in tok_cols:
+            docs = docs.withColumn(f"len_{fc.name}", F.size(F.col(tcol)))
+            docs = docs.withColumn(f"norm_{fc.name}", norm_udf(F.col(f"len_{fc.name}")))
+        docs = docs.persist()
+
+        # posting source rows: (doc_id, field, term, pos, norm_id)
+        token_frames = []
+        for fc, tcol in tok_cols:
+            tf_ = (
+                docs.select(
+                    "doc_id",
+                    F.col(f"norm_{fc.name}").alias("norm_id"),
+                    F.explode(F.col(tcol)).alias("tk"),
+                )
+                .select(
+                    "doc_id", "norm_id",
+                    F.lit(fc.name).alias("field"),
+                    F.col("tk.term").alias("term"),
+                    F.col("tk.pos").alias("pos"),
+                )
+            )
+            token_frames.append((fc, tf_))
+
+        all_tokens = token_frames[0][1]
+        for _, tf_ in token_frames[1:]:
+            all_tokens = all_tokens.unionByName(tf_)
+
+        # per (doc, field, term): tf + sorted positions
+        per_doc_term = (
+            all_tokens.groupBy("doc_id", "field", "term")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("tf"),
+                F.first("norm_id").alias("norm_id"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
+            )
+        )
+        per_doc_term = per_doc_term.withColumn(
+            "shard", F.shiftright(F.col("doc_id"), cfg.shard_bits).cast("long"))
+        per_doc_term = per_doc_term.persist()
+
+        # positions table (position-indexed fields only)
+        pos_fields = [fc.name for fc in cfg.text_fields if fc.has_positions]
+        if pos_fields:
+            (per_doc_term
+             .filter(F.col("field").isin(pos_fields))
+             .select("field", "term", "doc_id", "positions")
+             .repartition("field", "term")
+             .sortWithinPartitions("field", "term", "doc_id")
+             .write.mode("overwrite").parquet(os.path.join(seg_dir, "positions")))
+
+        # block-encoded postings (skew-proof: keyed by (field,term,shard))
+        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
+        enc = _encode_blocks_fn(cfg.block_size, with_scores=False)
+        (per_doc_term
+         .select("field", "term", "shard", "doc_id", "tf",
+                 F.col("norm_id").cast("long").alias("norm_id"))
+         .repartition(nparts, "field", "term", "shard")
+         .sortWithinPartitions("field", "term", "shard", "doc_id")
+         .mapInPandas(enc, _POSTINGS_SCHEMA)
+         .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))
+
+        # per-segment term stats (for global df at merge)
+        (per_doc_term.groupBy("field", "term")
+         .agg(F.count(F.lit(1)).cast("long").alias("df"),
+              F.sum("tf").cast("long").alias("total_tf"))
+         .write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats")))
+
+        # docs table (drop token arrays)
+        doc_out = docs.drop(*[tcol for _, tcol in tok_cols])
+        doc_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+
+        num_docs = docs.count()
+        field_tokens = {}
+        for fc, _ in tok_cols:
+            s = docs.agg(F.sum(F.col(f"len_{fc.name}")).alias("s")).collect()[0]["s"]
+            field_tokens[fc.name] = int(s or 0)
+        lo_hi = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+        per_doc_term.unpersist()
+        docs.unpersist()
+        return {
+            "action": "add",
+            "segment": seg_id,
+            "num_docs": int(num_docs),
+            "doc_lo": int(lo_hi["lo"]) if lo_hi["lo"] is not None else None,
+            "doc_hi": int(lo_hi["hi"]) if lo_hi["hi"] is not None else None,
+            "field_tokens": field_tokens,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+
+    # -- merge / finalize ---------------------------------------------------
+    def _merge(self, segment_ids: List[int]) -> dict:
+        """Merge all segment outputs into the global index (S7/S9 analog).
+
+        Resilient like the reference's mergeSplits (merge_impl.rs:88-101):
+        a segment directory that fails to read is skipped and recorded as a
+        merge_skip manifest action.
+        """
+        t0 = time.time()
+        cfg = self.config
+        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
+        ok_segments, skipped = [], []
+        for sid in segment_ids:
+            seg_dir = self._p("segments", f"seg={sid:05d}")
+            try:
+                self.spark.read.parquet(os.path.join(seg_dir, "postings")).limit(1).collect()
+                ok_segments.append(sid)
+            except Exception as e:  # corrupted / missing segment
+                skipped.append(sid)
+                self._append_manifest({"action": "merge_skip", "segment": sid,
+                                       "reason": str(e)[:200]})
+        seg_dirs = [self._p("segments", f"seg={s:05d}") for s in ok_segments]
+
+        # global term stats
+        termstats = self.spark.read.parquet(*[os.path.join(d, "termstats") for d in seg_dirs])
+        terms = (termstats.groupBy("field", "term")
+                 .agg(F.sum("df").cast("long").alias("df"),
+                      F.sum("total_tf").cast("long").alias("total_tf")))
+        terms = terms.persist()
+        (terms.repartition(1)
+         .sortWithinPartitions("field", "term")
+         .write.mode("overwrite").parquet(self._p("terms")))
+
+        # global docs + field stats
+        docs = self.spark.read.parquet(*[os.path.join(d, "docs") for d in seg_dirs])
+        docs.repartitionByRange(max(1, nparts // 4), "doc_id") \
+            .sortWithinPartitions("doc_id") \
+            .write.mode("overwrite").parquet(self._p("docs"))
+        docs = self.spark.read.parquet(self._p("docs"))
+        num_docs = docs.count()
+        stats = {"num_docs": int(num_docs), "fields": {}}
+        for fc in cfg.text_fields:
+            lc = f"len_{fc.name}"
+            if lc in docs.columns:
+                tot = docs.agg(F.sum(lc).alias("s")).collect()[0]["s"] or 0
+                stats["fields"][fc.name] = {
+                    "num_docs": int(num_docs),
+                    "total_tokens": int(tot),
+                    "avgdl": (float(tot) / num_docs) if num_docs else 0.0,
+                }
+
+        # final postings with block_max_score (needs global idf + avgdl)
+        from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
+        avgdl_map = {f: s["avgdl"] for f, s in stats["fields"].items()}
+        # non-text (string/keyword) fields: avgdl 1.0 (fieldnorm-free scoring)
+        for fc in cfg.fields:
+            avgdl_map.setdefault(fc.name, 1.0)
+        idf_df = terms.withColumn(
+            "idf_w",
+            F.log(F.lit(1.0) + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
+                  / (F.col("df") + F.lit(0.5))) * F.lit(K1 + 1.0),
+        ).select("field", "term", "idf_w")
+
+        seg_postings = self.spark.read.parquet(*[os.path.join(d, "postings") for d in seg_dirs])
+        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
+        merged_schema = _POSTINGS_SCHEMA
+        input_schema = T.StructType(merged_schema.fields + [T.StructField("idf_w", T.DoubleType())])
+        merge_fn = _decode_reencode_fn(cfg.block_size, FIELDNORM_TABLE, avgdl_map)
+        (seg_postings.join(idf_df, ["field", "term"])
+         .repartition(nparts, "field", "term", "shard")
+         .sortWithinPartitions("field", "term", "shard", "first_doc")
+         .mapInPandas(merge_fn, merged_schema)
+         .repartition(max(1, nparts // 4), "field", "term")
+         .sortWithinPartitions("field", "term", "shard", "block_id")
+         .write.mode("overwrite").parquet(self._p("postings")))
+
+        # positions: union segments, cluster by (field, term)
+        pos_dirs = [os.path.join(d, "positions") for d in seg_dirs
+                    if os.path.exists(os.path.join(d, "positions"))]
+        if pos_dirs:
+            (self.spark.read.parquet(*pos_dirs)
+             .repartition(max(1, nparts // 4), "field", "term")
+             .sortWithinPartitions("field", "term", "doc_id")
+             .write.mode("overwrite").parquet(self._p("positions")))
+
+        with open(self._p("stats.json"), "w") as fh:
+            json.dump(stats, fh, indent=2, sort_keys=True)
+        terms.unpersist()
+        return {"action": "commit", "segments": ok_segments, "skipped": skipped,
+                "num_docs": int(num_docs), "wall_sec": round(time.time() - t0, 3)}
+
+    # -- public API ---------------------------------------------------------
+    def build(self, df: DataFrame, order_cols: Optional[List[str]] = None,
+              doc_id_col: Optional[str] = None,
+              fail_after_segments: Optional[int] = None) -> BuildStats:
+        """Full build with resume: segments already in the manifest are skipped."""
+        t0 = time.time()
+        os.makedirs(self.index_dir, exist_ok=True)
+        done = {a["segment"] for a in self._manifest_actions() if a["action"] == "add"}
+        if not self._manifest_actions():
+            self._append_manifest({"action": "protocol", "version": 1,
+                                   "engine": "tantivy4java_spark"})
+            self._append_manifest({
+                "action": "metadata",
+                "fields": [{"name": f.name, "type": f.type, "tokenizer": f.tokenizer,
+                            "index_option": f.index_option} for f in self.config.fields],
+                "shard_bits": self.config.shard_bits,
+                "block_size": self.config.block_size,
+            })
+
+        with_ids = assign_doc_ids(df, order_cols=order_cols, doc_id_col=doc_id_col)
+        nseg = max(1, self.num_segments)
+        if nseg > 1:
+            # doc-range segments: deterministic, independently committable
+            total = with_ids.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+            total = int(total) + 1 if total is not None else 0
+            seg_width = max(1, math.ceil(total / nseg))
+        else:
+            seg_width = None
+        with_ids = with_ids.persist()
+
+        completed = 0
+        for sid in range(nseg):
+            if sid in done:
+                continue
+            seg_df = with_ids
+            if seg_width is not None:
+                seg_df = with_ids.filter(
+                    (F.col("doc_id") >= sid * seg_width)
+                    & (F.col("doc_id") < (sid + 1) * seg_width))
+            action = self._build_segment(seg_df, sid)
+            self._append_manifest(action)
+            completed += 1
+            if fail_after_segments is not None and completed >= fail_after_segments:
+                with_ids.unpersist()
+                raise RuntimeError(
+                    f"injected failure after {completed} segments (kill test)")
+
+        merge_action = self._merge(list(range(nseg)))
+        self._append_manifest(merge_action)
+        with_ids.unpersist()
+        wall = time.time() - t0
+        n = merge_action["num_docs"]
+        return BuildStats(num_docs=n, segments=nseg, wall_sec=wall,
+                          docs_per_sec=n / wall if wall > 0 else 0.0)
+
+
+def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,
+                index_dir: str, **kw) -> BuildStats:
+    order_cols = kw.pop("order_cols", None)
+    doc_id_col = kw.pop("doc_id_col", None)
+    fail_after = kw.pop("fail_after_segments", None)
+    builder = IndexBuilder(spark, config, index_dir, **kw)
+    return builder.build(df, order_cols=order_cols, doc_id_col=doc_id_col,
+                         fail_after_segments=fail_after)

@@ -1,0 +1,666 @@
+"""IndexSearcher: lowers the query AST to DataFrame plans over index tables.
+
+Scoring path (all JVM-side Catalyst expressions after an Arrow-batched block
+decode):
+  postings blocks --mapInPandas(decode)--> (term, doc_id, tf, norm_id)
+  score = idf_w * tf / (tf + k1*(1-b + b*len/avgdl)),
+  len decoded from norm_id via a 256-entry literal array (element_at).
+
+Top-k uses shard-level block-max pruning (WAND analog, SURVEY.md §4 O8):
+shards are doc_id ranges shared by ALL terms, so
+  upper_bound(shard) = sum over query terms of max(block_max_score in shard)
+is a correct per-doc bound.  Two phases: (1) score the most promising shards
+until k exact scores are known -> threshold T = kth best; (2) score only
+shards with bound >= T.  Everything else is pruned without being decoded.
+Reference analog: tantivy's block-max skipping inside TopDocs
+(native/src/searcher/jni_searcher.rs:85); cheap-filter-first short-circuit
+for expensive wildcards (native/src/split_query/query_optimizer.rs:63-115).
+
+Ties broken by ascending doc_id (tantivy breaks ties by DocAddress order).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+from functools import reduce
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tantivy4java_spark import codec
+from tantivy4java_spark import queries as Q
+from tantivy4java_spark.analysis import tokenize_text
+from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
+from tantivy4java_spark.scoring import B, K1, idf_weight
+
+_DECODED_SCHEMA = T.StructType([
+    T.StructField("field", T.StringType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("tf", T.LongType()),
+    T.StructField("norm_id", T.LongType()),
+])
+
+_SCORED_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("score", T.DoubleType()),
+])
+
+
+def _decode_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        if len(pdf) == 0:
+            continue
+        fields, terms, docs, tfs, norms = [], [], [], [], []
+        for fld, trm, first, cnt, dbin, tbin, nbin in zip(
+                pdf["field"].to_numpy(), pdf["term"].to_numpy(),
+                pdf["first_doc"].to_numpy(), pdf["count"].to_numpy(),
+                pdf["docs_bin"], pdf["tfs_bin"], pdf["norms_bin"]):
+            c = int(cnt)
+            docs.append(codec.decode_doc_block(dbin, int(first), c))
+            tfs.append(codec.decode_tf_block(tbin, c))
+            norms.append(np.frombuffer(nbin, dtype=np.uint8).astype(np.int64))
+            fields.append(np.repeat(fld, c))
+            terms.append(np.repeat(trm, c))
+        yield pd.DataFrame({
+            "field": np.concatenate(fields),
+            "term": np.concatenate(terms),
+            "doc_id": np.concatenate(docs),
+            "tf": np.concatenate(tfs),
+            "norm_id": np.concatenate(norms),
+        })
+
+
+def _fieldnorm_len_col(norm_id_col) -> F.Column:
+    """Decode fieldnorm id -> quantized length, JVM-side (literal 256-array)."""
+    arr = F.array(*[F.lit(int(x)) for x in FIELDNORM_TABLE])
+    return F.element_at(arr, (norm_id_col + F.lit(1)).cast("int")).cast("double")
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir.rstrip("/")
+        with open(os.path.join(self.index_dir, "stats.json")) as fh:
+            self._stats = json.load(fh)
+        self.num_docs: int = self._stats["num_docs"]
+        self.field_stats: Dict[str, dict] = self._stats["fields"]
+        self._meta = self._load_metadata()
+        self._df_cache: Dict[Tuple[str, str], int] = {}
+        self.last_metrics: Dict[str, float] = {}
+
+    def _load_metadata(self) -> dict:
+        path = os.path.join(self.index_dir, "_manifest", "manifest.jsonl")
+        meta = {}
+        if os.path.exists(path):
+            with open(path) as fh:
+                for line in fh:
+                    a = json.loads(line)
+                    if a.get("action") == "metadata":
+                        meta = a
+        return meta
+
+    def _field_meta(self, name: str) -> dict:
+        for f in self._meta.get("fields", []):
+            if f["name"] == name:
+                return f
+        return {"name": name, "type": "text", "tokenizer": "default"}
+
+    # -- table access -------------------------------------------------------
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+
+    def terms(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+
+    def positions(self) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self.index_dir, "positions"))
+
+    def avgdl(self, field: str) -> float:
+        st = self.field_stats.get(field)
+        return st["avgdl"] if st else 1.0
+
+    def term_df(self, field: str, term: str) -> int:
+        key = (field, term)
+        if key not in self._df_cache:
+            rows = (self.terms()
+                    .filter((F.col("field") == field) & (F.col("term") == term))
+                    .select("df").collect())
+            self._df_cache[key] = int(rows[0]["df"]) if rows else 0
+        return self._df_cache[key]
+
+    def term_dfs(self, pairs: Sequence[Tuple[str, str]]) -> Dict[Tuple[str, str], int]:
+        missing = [p for p in pairs if p not in self._df_cache]
+        if missing:
+            fields = sorted({f for f, _ in missing})
+            terms = sorted({t for _, t in missing})
+            rows = (self.terms()
+                    .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
+                    .select("field", "term", "df").collect())
+            found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            for p in missing:
+                self._df_cache[p] = found.get(p, 0)
+        return {p: self._df_cache[p] for p in pairs}
+
+    # -- term normalization ---------------------------------------------------
+    def query_term(self, field: str, value) -> Optional[str]:
+        """Apply the field's tokenizer to a query value (text fields lowercase
+        through the analyzer; raw/string fields match the exact value —
+        the raw-tokenizer case-preservation contract, query_converters.rs:43-57)."""
+        fm = self._field_meta(field)
+        if fm.get("type") == "text":
+            toks = tokenize_text(str(value), fm.get("tokenizer", "default"))
+            return toks[0][0] if toks else None
+        return str(value)
+
+    # -- scored decode of a set of (field, term) --------------------------------
+    def _decoded_postings(self, field_terms: Sequence[Tuple[str, str]],
+                          shards: Optional[Sequence[int]] = None) -> DataFrame:
+        p = self.postings()
+        fields = sorted({f for f, _ in field_terms})
+        terms = sorted({t for _, t in field_terms})
+        cond = F.col("field").isin(fields) & F.col("term").isin(terms)
+        p = p.filter(cond)
+        if len(fields) > 1:
+            # exact pair filter (isin x isin is a superset when multiple fields)
+            pair = F.concat_ws("\x00", F.col("field"), F.col("term"))
+            p = p.filter(pair.isin([f + "\x00" + t for f, t in field_terms]))
+        if shards is not None:
+            p = p.filter(F.col("shard").isin([int(s) for s in shards]))
+        return p.mapInPandas(_decode_blocks, _DECODED_SCHEMA)
+
+    def _score_decoded(self, decoded: DataFrame,
+                       idf_map: Dict[Tuple[str, str], float]) -> DataFrame:
+        """(field,term,doc_id,tf,norm_id) -> + score column (JVM exprs only)."""
+        pairs = list(idf_map.items())
+        mapping = F.create_map(*[
+            x for (fld, trm), w in pairs
+            for x in (F.lit(fld + "\x00" + trm), F.lit(float(w)))
+        ])
+        avgdl_map = F.create_map(*[
+            x for fld in {f for f, _ in idf_map}
+            for x in (F.lit(fld), F.lit(float(self.avgdl(fld))))
+        ])
+        key = F.concat_ws("\x00", F.col("field"), F.col("term"))
+        idf_w = F.element_at(mapping, key)
+        avgdl = F.element_at(avgdl_map, F.col("field"))
+        length = _fieldnorm_len_col(F.col("norm_id"))
+        tf = F.col("tf").cast("double")
+        score = idf_w * tf / (tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * length / avgdl))
+        return decoded.withColumn("score", score)
+
+    def _idf_map(self, field_terms: Sequence[Tuple[str, str]]) -> Dict[Tuple[str, str], float]:
+        dfs = self.term_dfs(field_terms)
+        return {p: idf_weight(d, self.num_docs) for p, d in dfs.items() if d > 0}
+
+    def _empty_scored(self) -> DataFrame:
+        return self.spark.createDataFrame([], _SCORED_SCHEMA)
+
+    # -- AST lowering: every node -> DataFrame(doc_id, score) -------------------
+    def score_query(self, q: Q.Query) -> DataFrame:
+        q = Q.normalize(q)
+        return self._score(q)
+
+    def _score(self, q: Q.Query) -> DataFrame:
+        if isinstance(q, Q.Term):
+            return self._score_term(q)
+        if isinstance(q, Q.TermSet):
+            return self._score_termset(q)
+        if isinstance(q, Q.MatchAll):
+            return self.docs().select("doc_id", F.lit(1.0).alias("score"))
+        if isinstance(q, Q.Boolean):
+            return self._score_bool(q)
+        if isinstance(q, Q.Phrase):
+            return self._score_phrase(q)
+        if isinstance(q, Q.Fuzzy):
+            return self._score_fuzzy(q)
+        if isinstance(q, (Q.Regex, Q.Wildcard)):
+            return self._score_regex(q)
+        if isinstance(q, Q.Range):
+            return self._score_range(q)
+        if isinstance(q, Q.Exists):
+            return (self.docs().filter(F.col(q.field).isNotNull())
+                    .select("doc_id", F.lit(1.0).alias("score")))
+        if isinstance(q, Q.Boost):
+            child = self._score(q.child)
+            return child.withColumn("score", F.col("score") * F.lit(float(q.factor)))
+        if isinstance(q, Q.ConstScore):
+            child = self._score(q.child)
+            return child.withColumn("score", F.lit(float(q.score)))
+        if isinstance(q, Q.DisMax):
+            return self._score_dismax(q)
+        if isinstance(q, Q.MoreLikeThis):
+            return self._score(self._expand_mlt(q))
+        raise TypeError(f"unsupported query node: {type(q).__name__}")
+
+    # -- leaves -----------------------------------------------------------------
+    def _score_term(self, q: Q.Term,
+                    shards: Optional[Sequence[int]] = None) -> DataFrame:
+        fm = self._field_meta(q.field)
+        if fm.get("type") not in ("text", "string"):
+            # numeric/date/bool term: fast-field equality, constant score
+            # (range-family semantics; tantivy numeric terms are rarely
+            #  rank-relevant — documented deviation)
+            return (self.docs().filter(F.col(q.field) == F.lit(q.value))
+                    .select("doc_id", F.lit(1.0).alias("score")))
+        term = self.query_term(q.field, q.value)
+        if term is None:
+            return self._empty_scored()
+        idf_map = self._idf_map([(q.field, term)])
+        if not idf_map:
+            return self._empty_scored()
+        decoded = self._decoded_postings([(q.field, term)], shards)
+        return self._score_decoded(decoded, idf_map).select("doc_id", "score")
+
+    def _score_termset(self, q: Q.TermSet) -> DataFrame:
+        terms = [self.query_term(q.field, v) for v in q.values]
+        pairs = [(q.field, t) for t in terms if t is not None]
+        if not pairs:
+            return self._empty_scored()
+        decoded = self._decoded_postings(pairs)
+        # TermSetQuery: union of matching docs, constant score 1.0
+        return (decoded.select("doc_id").distinct()
+                .select("doc_id", F.lit(1.0).alias("score")))
+
+    def _score_multi_term_union(self, pairs: Sequence[Tuple[str, str]],
+                                shards: Optional[Sequence[int]] = None) -> DataFrame:
+        """OR-union of scored terms: per-doc sum of matching term scores."""
+        idf_map = self._idf_map(pairs)
+        if not idf_map:
+            return self._empty_scored()
+        decoded = self._decoded_postings(list(idf_map.keys()), shards)
+        scored = self._score_decoded(decoded, idf_map)
+        return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+    def _score_regex(self, q) -> DataFrame:
+        pattern = q.pattern if isinstance(q, Q.Regex) else Q.wildcard_to_regex(q.pattern)
+        if isinstance(q, Q.Regex) and not pattern.startswith("^"):
+            pattern = "^(?:" + pattern + ")$"  # term-anchored like tantivy RegexQuery
+        expanded = (self.terms()
+                    .filter((F.col("field") == q.field) & F.col("term").rlike(pattern))
+                    .select("term").collect())
+        terms = [r["term"] for r in expanded]
+        if not terms:
+            return self._empty_scored()
+        decoded = self._decoded_postings([(q.field, t) for t in terms])
+        # regex/wildcard: constant score (tantivy AutomatonQuery const scorer)
+        return (decoded.select("doc_id").distinct()
+                .select("doc_id", F.lit(1.0).alias("score")))
+
+    def _score_fuzzy(self, q: Q.Fuzzy) -> DataFrame:
+        text = self.query_term(q.field, q.text)
+        if text is None:
+            return self._empty_scored()
+        dist = int(q.distance)
+        osa = bool(q.transposition_cost_one)
+
+        @F.pandas_udf(T.BooleanType())
+        def within(terms: pd.Series) -> pd.Series:
+            return terms.map(lambda t: _edit_distance(text, t, dist, osa) <= dist)
+
+        cand = self.terms().filter(F.col("field") == q.field)
+        # cheap length prefilter stays JVM-side before the UDF
+        cand = cand.filter(F.abs(F.length("term") - F.lit(len(text))) <= F.lit(dist))
+        if q.prefix:
+            cand = cand.filter(F.col("term").startswith(text[:1]))
+        expanded = cand.filter(within(F.col("term"))).select("term").collect()
+        pairs = [(q.field, r["term"]) for r in expanded]
+        if not pairs:
+            return self._empty_scored()
+        return self._score_multi_term_union(pairs)
+
+    def _score_range(self, q: Q.Range) -> DataFrame:
+        fm = self._field_meta(q.field)
+        docs = self.docs()
+        if q.field not in docs.columns:
+            raise ValueError(f"range query needs a fast field: {q.field}")
+        col = F.col(q.field)
+        cond = F.lit(True)
+        if q.lower is not None:
+            cond = cond & (col >= F.lit(q.lower) if q.include_lower else col > F.lit(q.lower))
+        if q.upper is not None:
+            cond = cond & (col <= F.lit(q.upper) if q.include_upper else col < F.lit(q.upper))
+        return docs.filter(cond).select("doc_id", F.lit(1.0).alias("score"))
+
+    # -- phrase ------------------------------------------------------------------
+    def _score_phrase(self, q: Q.Phrase) -> DataFrame:
+        words = [self.query_term(q.field, w) for w in q.words]
+        if any(w is None for w in words) or not words:
+            return self._empty_scored()
+        if len(words) == 1:
+            return self._score_term(Q.Term(q.field, words[0]))
+        uniq = sorted(set(words))
+        dfs = self.term_dfs([(q.field, w) for w in uniq])
+        if any(dfs[(q.field, w)] == 0 for w in uniq):
+            return self._empty_scored()
+        pos = (self.positions()
+               .filter((F.col("field") == q.field) & F.col("term").isin(uniq)))
+        # one row per doc having ALL the phrase terms, positions per slot
+        per_doc = (pos.groupBy("doc_id")
+                   .agg(F.map_from_entries(
+                        F.collect_list(F.struct("term", "positions"))).alias("pmap"),
+                        F.count(F.lit(1)).alias("nterms"))
+                   .filter(F.col("nterms") == len(uniq)))
+        arrays = F.array(*[F.element_at(F.col("pmap"), F.lit(w)) for w in words])
+        slop = int(q.slop)
+
+        @F.pandas_udf(T.LongType())
+        def phrase_tf(arrs: pd.Series) -> pd.Series:
+            return arrs.map(lambda a: _phrase_freq([np.asarray(x) for x in a], slop))
+
+        matched = (per_doc.select("doc_id", phrase_tf(arrays).alias("tf"))
+                   .filter(F.col("tf") > 0))
+        # combined idf over phrase terms as given (Lucene/tantivy: sum of idf)
+        idf_w = sum(idf_weight(dfs[(q.field, w)], self.num_docs) for w in words)
+        avgdl = self.avgdl(q.field)
+        norm_col = f"norm_{q.field}"
+        with_norm = matched.join(self.docs().select("doc_id", norm_col), "doc_id")
+        length = _fieldnorm_len_col(F.col(norm_col))
+        tf = F.col("tf").cast("double")
+        score = (F.lit(idf_w) * tf
+                 / (tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * length / F.lit(avgdl))))
+        return with_norm.select("doc_id", score.alias("score"))
+
+    # -- boolean -----------------------------------------------------------------
+    def _docids(self, q: Q.Query) -> DataFrame:
+        return self._score(q).select("doc_id")
+
+    def _is_expensive(self, q: Q.Query) -> bool:
+        if isinstance(q, Q.Wildcard):
+            return Q.is_expensive_wildcard(q.pattern)
+        if isinstance(q, (Q.Regex, Q.Fuzzy)):
+            return True
+        return False
+
+    def _score_bool(self, q: Q.Boolean) -> DataFrame:
+        must = list(q.must)
+        should = list(q.should)
+        must_not = list(q.must_not)
+        msm = q.minimum_should_match or 0
+
+        # cheap-filter-first short-circuit (query_optimizer.rs:63-115):
+        # if the cheap MUST side is empty, skip the expensive clauses entirely.
+        cheap_must = [c for c in must if not self._is_expensive(c)]
+        exp_clauses = [c for c in must + should if self._is_expensive(c)]
+        if cheap_must and exp_clauses:
+            probe = self._intersect_scored([self._score(c) for c in cheap_must])
+            if probe.limit(1).count() == 0:
+                self.last_metrics["short_circuit"] = 1
+                return self._empty_scored()
+            base_must = probe
+        elif must:
+            base_must = self._intersect_scored([self._score(c) for c in must])
+        else:
+            base_must = None
+        if cheap_must and exp_clauses:
+            rest = [c for c in must if self._is_expensive(c)]
+            if rest:
+                base_must = self._intersect_scored(
+                    [base_must] + [self._score(c) for c in rest])
+
+        should_scored = None
+        if should:
+            should_scored = self._union_scored(
+                [self._score(c) for c in should], min_match=msm if not must else 0)
+
+        if base_must is not None and should_scored is not None:
+            out = (base_must.alias("m")
+                   .join(should_scored.alias("s"), "doc_id", "left")
+                   .select(F.col("doc_id"),
+                           (F.col("m.score")
+                            + F.coalesce(F.col("s.score"), F.lit(0.0))).alias("score")))
+        elif base_must is not None:
+            out = base_must
+        elif should_scored is not None:
+            out = should_scored
+        else:
+            return self._empty_scored()
+
+        for c in must_not:
+            out = out.join(self._docids(c), "doc_id", "left_anti")
+        return out
+
+    def _intersect_scored(self, frames: List[DataFrame]) -> DataFrame:
+        """MUST semantics: docs in every frame; score = fixed-order sum."""
+        out = frames[0].withColumnRenamed("score", "s0")
+        for i, f in enumerate(frames[1:], start=1):
+            out = out.join(f.withColumnRenamed("score", f"s{i}"), "doc_id")
+        total = reduce(lambda a, b: a + b,
+                       [F.col(f"s{i}") for i in range(len(frames))])
+        return out.select("doc_id", total.alias("score"))
+
+    def _union_scored(self, frames: List[DataFrame], min_match: int = 0) -> DataFrame:
+        """SHOULD semantics: union, per-doc sum, optional minimum_should_match."""
+        if len(frames) <= 8:
+            out = frames[0].select("doc_id", F.col("score").alias("s0"))
+            for i, f in enumerate(frames[1:], start=1):
+                out = out.join(f.withColumnRenamed("score", f"s{i}"),
+                               "doc_id", "full_outer")
+            score = reduce(lambda a, b: a + b,
+                           [F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+                            for i in range(len(frames))])
+            nmatch = reduce(lambda a, b: a + b,
+                            [F.when(F.col(f"s{i}").isNotNull(), 1).otherwise(0)
+                             for i in range(len(frames))])
+            out = out.select("doc_id", score.alias("score"), nmatch.alias("_n"))
+        else:
+            tagged = [f.withColumn("_c", F.lit(i)) for i, f in enumerate(frames)]
+            u = reduce(lambda a, b: a.unionByName(b), tagged)
+            out = (u.groupBy("doc_id")
+                   .agg(F.sum("score").alias("score"),
+                        F.countDistinct("_c").alias("_n")))
+        if min_match > 1:
+            out = out.filter(F.col("_n") >= min_match)
+        return out.select("doc_id", "score")
+
+    def _score_dismax(self, q: Q.DisMax) -> DataFrame:
+        frames = [self._score(c) for c in q.queries]
+        out = frames[0].select("doc_id", F.col("score").alias("s0"))
+        for i, f in enumerate(frames[1:], start=1):
+            out = out.join(f.withColumnRenamed("score", f"s{i}"), "doc_id", "full_outer")
+        cols = [F.coalesce(F.col(f"s{i}"), F.lit(0.0)) for i in range(len(frames))]
+        mx = F.greatest(*cols) if len(cols) > 1 else cols[0]
+        total = reduce(lambda a, b: a + b, cols)
+        score = mx + F.lit(float(q.tie_breaker)) * (total - mx)
+        return out.select("doc_id", score.alias("score"))
+
+    # -- MoreLikeThis -------------------------------------------------------------
+    def _expand_mlt(self, q: Q.MoreLikeThis) -> Q.Query:
+        shard = q.doc_id >> self._meta.get("shard_bits", 16)
+        blocks = (self.postings()
+                  .filter((F.col("field") == q.field) & (F.col("shard") == shard)
+                          & (F.col("first_doc") <= q.doc_id)
+                          & (F.col("last_doc") >= q.doc_id)))
+        decoded = blocks.mapInPandas(_decode_blocks, _DECODED_SCHEMA)
+        rows = (decoded.filter(F.col("doc_id") == q.doc_id)
+                .select("term", "tf").collect())
+        cand = [(r["term"], int(r["tf"])) for r in rows if int(r["tf"]) >= q.min_term_freq]
+        if not cand:
+            return Q.Boolean()
+        dfs = self.term_dfs([(q.field, t) for t, _ in cand])
+        picked = []
+        for term, tf in cand:
+            df = dfs[(q.field, term)]
+            if df < q.min_doc_freq:
+                continue
+            if q.max_doc_freq is not None and df > q.max_doc_freq:
+                continue
+            picked.append((idf_weight(df, self.num_docs) * tf, term))
+        picked.sort(reverse=True)
+        terms = [t for _, t in picked[: q.max_query_terms]]
+        should = tuple(Q.Term(q.field, t) for t in terms)
+        base: Q.Query = Q.Boolean(should=should)
+        if q.boost_factor != 1.0:
+            base = Q.Boost(base, q.boost_factor)
+        return base
+
+    # -- top-k with shard-level block-max pruning ----------------------------------
+    def _pure_term_clauses(self, q: Q.Query) -> Optional[Tuple[str, List[Tuple[str, str]]]]:
+        """Detect Term / pure-term Boolean shapes eligible for WAND pruning."""
+        if isinstance(q, Q.Term):
+            fm = self._field_meta(q.field)
+            if fm.get("type") in ("text", "string"):
+                t = self.query_term(q.field, q.value)
+                return ("or", [(q.field, t)]) if t else None
+            return None
+        if isinstance(q, Q.Boolean) and not q.must_not:
+            kids = list(q.must) + list(q.should)
+            if (q.minimum_should_match or 0) > 1:
+                return None
+            if not kids or not all(isinstance(c, Q.Term) for c in kids):
+                return None
+            pairs = []
+            for c in kids:
+                fm = self._field_meta(c.field)
+                if fm.get("type") not in ("text", "string"):
+                    return None
+                t = self.query_term(c.field, c.value)
+                if t is None:
+                    return None
+                pairs.append((c.field, t))
+            if q.must and not q.should:
+                return ("and", pairs)
+            if q.should and not q.must:
+                return ("or", pairs)
+        return None
+
+    def search(self, q: Q.Query, limit: int = 10, prune: bool = True) -> DataFrame:
+        """Top-k (score desc, doc_id asc) as a DataFrame(doc_id, score)."""
+        q = Q.normalize(q)
+        self.last_metrics = {}
+        shape = self._pure_term_clauses(q) if prune else None
+        if shape is not None:
+            scored = self._scored_pruned(shape[0], shape[1], limit)
+        else:
+            scored = self._score(q)
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+
+    def _scored_pruned(self, mode: str, pairs: List[Tuple[str, str]],
+                       k: int) -> DataFrame:
+        idf_map = self._idf_map(pairs)
+        if not idf_map:
+            return self._empty_scored()
+        pairs = list(idf_map.keys())
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        meta_rows = (self.postings()
+                     .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
+                     .groupBy("field", "term", "shard")
+                     .agg(F.sum("count").alias("cnt"),
+                          F.max("block_max_score").alias("bmax"))
+                     .collect())
+        meta = [(r["field"], r["term"], int(r["shard"]), int(r["cnt"]), float(r["bmax"]))
+                for r in meta_rows if (r["field"], r["term"]) in idf_map]
+        shards: Dict[int, dict] = {}
+        for fld, trm, sh, cnt, bmax in meta:
+            s = shards.setdefault(sh, {"bound": 0.0, "cnt": 0, "terms": set()})
+            s["bound"] += bmax
+            s["cnt"] += cnt
+            s["terms"].add((fld, trm))
+        if mode == "and":
+            shards = {sh: s for sh, s in shards.items()
+                      if len(s["terms"]) == len(pairs)}
+        total_shards = len(shards)
+        self.last_metrics["shards_total"] = total_shards
+        if not shards:
+            return self._empty_scored()
+
+        def scored_for(shard_ids: Sequence[int]) -> DataFrame:
+            decoded = self._decoded_postings(pairs, shards=shard_ids)
+            scored = self._score_decoded(decoded, idf_map)
+            if mode == "and":
+                agg = (scored.groupBy("doc_id")
+                       .agg(F.sum("score").alias("score"),
+                            F.countDistinct("field", "term").alias("_n"))
+                       .filter(F.col("_n") == len(pairs)))
+                return agg.select("doc_id", "score")
+            return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+
+        order = sorted(shards.items(), key=lambda kv: -kv[1]["bound"])
+        phase1, cum = [], 0
+        for sh, s in order:
+            phase1.append(sh)
+            cum += s["cnt"]
+            if cum >= k:
+                break
+        if len(phase1) == total_shards:
+            self.last_metrics["shards_scored"] = total_shards
+            return scored_for(phase1)
+        top1 = scored_for(phase1).orderBy(F.desc("score"), F.asc("doc_id")) \
+            .limit(k).collect()
+        if len(top1) < k:
+            self.last_metrics["shards_scored"] = total_shards
+            return scored_for(list(shards.keys()))
+        threshold = top1[-1]["score"]
+        survivors = [sh for sh, s in shards.items() if s["bound"] >= threshold]
+        self.last_metrics["shards_scored"] = len(survivors)
+        self.last_metrics["wand_threshold"] = threshold
+        return scored_for(survivors)
+
+    # -- doc retrieval (S14 analog: join hits back to the doc store) ---------------
+    def retrieve(self, hits: DataFrame, source: DataFrame,
+                 on: str = "doc_id", fields: Optional[List[str]] = None) -> DataFrame:
+        cols = fields or [c for c in source.columns if c != on]
+        sel = source.select(on, *cols)
+        return hits.join(F.broadcast(sel), on, "left")
+
+
+def _edit_distance(a: str, b: str, cap: int, osa: bool) -> int:
+    """Levenshtein / OSA (transposition cost 1) with early cutoff."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    prev2 = None
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        for j in range(1, lb + 1):
+            cost = 0 if a[i - 1] == b[j - 1] else 1
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+            if osa and i > 1 and j > 1 and a[i - 1] == b[j - 2] and a[i - 2] == b[j - 1]:
+                cur[j] = min(cur[j], prev2[j - 2] + 1)
+        if min(cur) > cap:
+            return cap + 1
+        prev2, prev = prev, cur
+    return prev[lb]
+
+
+def _phrase_freq(arrays: List[np.ndarray], slop: int) -> int:
+    """Number of phrase matches: ordered positions q_0<...<q_{n-1} with total
+    extra gap sum(q_i - q_0 - i) <= slop; counts distinct anchors q_0."""
+    if any(a.size == 0 for a in arrays):
+        return 0
+    if slop == 0:
+        anchors = arrays[0]
+        for i, arr in enumerate(arrays[1:], start=1):
+            anchors = anchors[np.isin(anchors + i, arr)]
+            if anchors.size == 0:
+                return 0
+        return int(anchors.size)
+    count = 0
+    for p0 in arrays[0]:
+        prev = p0
+        budget_used = 0
+        ok = True
+        for i, arr in enumerate(arrays[1:], start=1):
+            # smallest position > prev with total displacement within slop
+            cand = arr[(arr > prev) & (arr <= p0 + i + (slop - budget_used))]
+            if cand.size == 0:
+                ok = False
+                break
+            nxt = int(cand.min())
+            budget_used = nxt - p0 - i
+            prev = nxt
+        if ok:
+            count += 1
+    return count
