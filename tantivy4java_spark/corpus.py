@@ -121,7 +121,7 @@ def generate_pandas(start: int, count: int, seed: int = 42, n_repos: int = 50,
         n = int(ntok[j])
         slots = np.arange(n, dtype=np.uint64)
         u = (_splitmix64(slots + np.uint64(di) * np.uint64(1_000_000_007)
-                         + np.uint64(seed)).astype(np.float64) / 2**64)
+                         + np.uint64(seed)).astype(np.float64) / float(2**64))
         toks = vocab[np.searchsorted(cdf, u)]
         contents.append(" ".join(toks))
         h1 = int(_splitmix64(np.array([di * 3 + 1], dtype=np.uint64))[0])

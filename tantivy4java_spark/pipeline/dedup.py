@@ -1,0 +1,223 @@
+"""Deduplication operators: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Scale design:
+- exact: one hash-groupBy, no data movement beyond the shuffle on the digest.
+- MinHash+LSH: signatures are computed per-row (narrow); the only shuffle is
+  the band-bucket self-join, whose keys are (band_id, band_hash) — uniformly
+  distributed by construction, no skew.  Candidate pairs are verified with
+  exact shingle Jaccard before being declared duplicates (no false positives
+  leave the operator).
+- The MinHash hash family is min(md5(i || shingle)) over the lexicographic
+  order of hex digests — a valid permutation family that is reproducible in
+  ANY engine with md5 (this is what makes the DuckDB oracle exact).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, col: str, id_col: str,
+                keep: str = "min") -> DataFrame:
+    """Keep one representative per exact content (sha256) group."""
+    digest = F.sha2(F.col(col).cast("string"), 256)
+    w = Window.partitionBy(digest).orderBy(
+        F.asc(id_col) if keep == "min" else F.desc(id_col))
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def shingles_col(col, k: int = 3):
+    """k-word shingles (space-joined), distinct."""
+    toks = F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    sh = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(toks, i + 1, k)))
+    return F.when(n >= k, F.array_distinct(sh)).otherwise(
+        F.when(n > 0, F.array(F.concat_ws(" ", toks))).otherwise(F.array()))
+
+
+def minhash_signature(col, num_hashes: int = 16, k: int = 3):
+    """array<string> of length num_hashes: min over shingles of
+    md5(<i>|shingle) — engine-portable MinHash."""
+    sh = shingles_col(col, k)
+    return F.array(*[
+        F.array_min(F.transform(
+            sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s))))
+        for i in range(num_hashes)])
+
+
+def minhash_dedup_pairs(df: DataFrame, col: str, id_col: str,
+                        num_hashes: int = 16, bands: int = 4, k: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding + exact Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature(F.col(col), num_hashes, k)
+    with_sig = df.select(F.col(id_col).alias("_id"),
+                         F.col(col).alias("_text"),
+                         sig.alias("_sig"),
+                         shingles_col(F.col(col), k).alias("_sh"))
+    band_rows = with_sig.select(
+        "_id", "_sh",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.concat_ws("", F.slice(F.col("_sig"),
+                                             b * rows_per_band + 1,
+                                             rows_per_band)).alias("bhash"))
+            for b in range(bands)])).alias("bb"))
+    band_rows = band_rows.select("_id", "_sh", F.col("bb.band").alias("band"),
+                                 F.col("bb.bhash").alias("bhash"))
+    a = band_rows.alias("a")
+    b = band_rows.alias("b")
+    cand = (a.join(b, ["band", "bhash"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                    F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (cand.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, col: str, id_col: str, k: int = 3,
+                        threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via an inverted shingle join
+    (|A∩B| per pair from one groupBy, sizes joined back) — never a cross
+    join; the shuffle key is the shingle, mega-shingles are the only skew
+    and can be dropped as stopword-shingles upstream."""
+    sh = (df.select(F.col(id_col).alias("_id"),
+                    F.explode(shingles_col(F.col(col), k)).alias("sh")))
+    sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (a.join(b, "sh").filter(F.col("a._id") < F.col("b._id"))
+             .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+             .agg(F.count(F.lit(1)).alias("inter")))
+    out = (inter
+           .join(sizes.withColumnRenamed("_id", "id_a")
+                 .withColumnRenamed("n", "n_a"), "id_a")
+           .join(sizes.withColumnRenamed("_id", "id_b")
+                 .withColumnRenamed("n", "n_b"), "id_b"))
+    jac = (F.col("inter").cast("double")
+           / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"))
+    return (out.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+def simhash(df: DataFrame, col: str, out: str = "simhash",
+            bits: int = 64) -> DataFrame:
+    """64-bit SimHash over whitespace tokens weighted by tf (Arrow-batched).
+
+    Bit votes come from splitmix64 of each token (deterministic, seedless).
+    """
+    from tantivy4java_spark.corpus import _splitmix64
+
+    @F.pandas_udf(T.LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        def one(text):
+            if not text:
+                return 0
+            toks = text.split()
+            if not toks:
+                return 0
+            uniq, counts = np.unique(np.array(toks, dtype=object),
+                                     return_counts=True)
+            hs = np.array([_hash_str(t) for t in uniq], dtype=np.uint64)
+            votes = np.zeros(bits, dtype=np.int64)
+            for j in range(bits):
+                bit = ((hs >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
+                votes[j] = np.sum(np.where(bit == 1, counts, -counts))
+            v = 0
+            for j in range(bits):
+                if votes[j] > 0:
+                    v |= (1 << j)
+            return v - (1 << 64) if v >= (1 << 63) else v
+
+        def _hash_str(t: str) -> int:
+            h = np.uint64(1469598103934665603)
+            for ch in t.encode("utf-8"):
+                h = (h ^ np.uint64(ch)) * np.uint64(1099511628211)
+            return int(_splitmix64(np.array([h], dtype=np.uint64))[0])
+
+        return texts.map(one)
+
+    return df.withColumn(out, _simhash(F.col(col)))
+
+
+def simhash_dup_pairs(df: DataFrame, col: str, id_col: str,
+                      max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
+    pigeonhole block trick (split 64 bits into max_hamming+1 blocks; a
+    near-dup pair must agree exactly on >= 1 block) — the join key is the
+    block value, never a cross join."""
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    with_h = simhash(df.select(F.col(id_col).alias("_id"), col), col, "h")
+    blocks = with_h.select(
+        "_id", "h",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftrightunsigned(F.col("h"), i * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"))
+            for i in range(nblocks)])).alias("bb"))
+    blocks = blocks.select("_id", "h", F.col("bb.blk").alias("blk"),
+                           F.col("bb.bval").alias("bval"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (a.join(b, ["blk", "bval"])
+            .filter(F.col("a._id") < F.col("b._id"))
+            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                    F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return (cand.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
+                            threshold: float = 0.95,
+                            bucketer: Optional[int] = 8) -> DataFrame:
+    """Embedding near-duplicates: cosine >= threshold.
+
+    Candidate generation via random-hyperplane LSH buckets (deterministic
+    hyperplanes from splitmix64), exact cosine verify inside buckets.
+    bucketer=None -> exact all-pairs (small inputs only).
+    """
+    from tantivy4java_spark.pipeline.similarity import (
+        cosine_expr, hyperplane_bucket_udf, norm_expr)
+    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    base = base.withColumn("_n", norm_expr(F.col("_v")))
+    if bucketer:
+        dim_probe = base.select(F.size("_v").alias("d")).limit(1).collect()
+        dim = int(dim_probe[0]["d"]) if dim_probe else 0
+        bucket = hyperplane_bucket_udf(dim, bucketer)
+        base = base.withColumn("_bkt", bucket(F.col("_v")))
+        join_keys = ["_bkt"]
+        a, b = base.alias("a"), base.alias("b")
+        cand = a.join(b, join_keys)
+    else:
+        a, b = base.alias("a"), base.alias("b")
+        cand = a.crossJoin(b)
+    cand = cand.filter(F.col("a._id") < F.col("b._id"))
+    cos = cosine_expr(F.col("a._v"), F.col("b._v"),
+                      F.col("a._n"), F.col("b._n"))
+    return (cand.withColumn("cosine", F.round(cos, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"), "cosine"))

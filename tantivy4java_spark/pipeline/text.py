@@ -1,0 +1,137 @@
+"""Text analysis operators for training-data pipelines.
+
+Every function is a pure Catalyst expression pipeline (JVM, codegen) with an
+equivalent ANSI-SQL form for the DuckDB oracle; nothing row-at-a-time.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deliberately tiny, deterministic stopword table (shared with the oracle SQL)
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "for", "on"]
+
+# language marker tokens for the n-gram/keyword heuristic language ID
+LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "es": ["el", "la", "que"],
+    "de": ["der", "die", "und"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+def tokens_col(col: Column) -> Column:
+    """Whitespace tokens, empties removed (matches DuckDB string_split)."""
+    return F.filter(F.split(col, r"\s+"), lambda t: t != F.lit(""))
+
+
+def token_count(df: DataFrame, col: str, out: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (fast path for budget/packing decisions)."""
+    return df.withColumn(out, F.size(tokens_col(F.col(col))).cast("long"))
+
+
+def bpe_ish_token_count(df: DataFrame, col: str, out: str = "n_bpe") -> DataFrame:
+    """BPE-approximating count: word-pieces of <=4 chars + digits/punct runs.
+
+    regexp count of the pieces a byte-pair encoder would roughly produce;
+    deterministic and expressible in both Spark and DuckDB:
+      pieces = ceil(len(word)/4) summed over words + punctuation runs.
+    """
+    toks = tokens_col(F.col(col))
+    word_pieces = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / F.lit(4.0)).cast("long"))
+    return df.withColumn(out, word_pieces)
+
+
+def quality_score(df: DataFrame, col: str, out: str = "quality") -> DataFrame:
+    """Composite [0,1] quality heuristic: length band, alpha ratio,
+    stopword presence, repetition penalty.  All closed-form."""
+    c = F.col(col)
+    toks = tokens_col(c)
+    n = F.size(toks).cast("double")
+    n_chars = F.length(c).cast("double")
+    alpha = (F.length(F.regexp_replace(c, r"[^A-Za-z]", "")).cast("double")
+             / F.greatest(n_chars, F.lit(1.0)))
+    stop_hits = F.size(F.array_intersect(
+        toks, F.array(*[F.lit(s) for s in STOPWORDS]))).cast("double")
+    stop_ratio = stop_hits / F.lit(float(len(STOPWORDS)))
+    distinct_ratio = (F.size(F.array_distinct(toks)).cast("double")
+                      / F.greatest(n, F.lit(1.0)))
+    len_band = F.when((n >= 10) & (n <= 5000), F.lit(1.0)) \
+        .when(n < 10, n / F.lit(10.0)).otherwise(F.lit(5000.0) / n)
+    score = (F.lit(0.4) * len_band + F.lit(0.2) * alpha
+             + F.lit(0.2) * stop_ratio + F.lit(0.2) * distinct_ratio)
+    return df.withColumn(out, F.round(score, 6))
+
+
+def lang_id(df: DataFrame, col: str, out: str = "lang_pred") -> DataFrame:
+    """Marker-token language heuristic: argmax over per-language marker hits;
+    deterministic tie-break by language code."""
+    toks = tokens_col(F.lower(F.col(col)))
+    scores = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        scores.append(F.struct(
+            F.size(F.array_intersect(toks, markers)).alias("hits"),
+            F.lit(lang).alias("lang")))
+    # max by (hits, then reverse-alpha) => pick highest hits, ties -> first alpha
+    best = F.array_max(F.array(*[
+        F.struct(s["hits"].alias("hits"),
+                 F.lit(99 - i).alias("prio"),
+                 s["lang"].alias("lang"))
+        for i, s in enumerate(scores)]))
+    return df.withColumn(out, best["lang"])
+
+
+def fingerprint(df: DataFrame, col: str, out: str = "fp") -> DataFrame:
+    """Order-sensitive document fingerprint: polynomial rolling hash over
+    whitespace tokens (token -> length+first-char code), closed form,
+    identical in DuckDB SQL.  M = 2^31-1 keeps acc*P inside int64 (ANSI-safe
+    in Spark, exact in any engine)."""
+    toks = tokens_col(F.col(col))
+    P = 1_000_003
+    M = (1 << 31) - 1
+    code = lambda t: (F.length(t).cast("long") * F.lit(131)
+                      + F.ascii(F.substring(t, 1, 1)).cast("long"))
+    fp = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: (acc * F.lit(P) + code(t)) % F.lit(M))
+    return df.withColumn(out, fp)
+
+
+def sql_token_count(col: str) -> str:
+    return f"cast(len(list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')) as bigint)"
+
+
+def sql_bpe_count(col: str) -> str:
+    return ("cast(list_sum(list_transform(list_filter(string_split_regex("
+            f"{col}, '\\s+'), x -> x <> ''), t -> cast(ceil(length(t)/4.0) as bigint))) as bigint)")
+
+
+def sql_quality(col: str) -> str:
+    stop_arr = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+    toks = f"list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+    return f"""
+    round(
+      0.4 * (case when len({toks}) between 10 and 5000 then 1.0
+                  when len({toks}) < 10 then len({toks})/10.0
+                  else 5000.0/len({toks}) end)
+      + 0.2 * (length(regexp_replace({col}, '[^A-Za-z]', '', 'g'))
+               / greatest(cast(length({col}) as double), 1.0))
+      + 0.2 * (cast(len(list_intersect({toks}, {stop_arr})) as double) / {len(STOPWORDS)}.0)
+      + 0.2 * (cast(len(list_distinct({toks})) as double)
+               / greatest(cast(len({toks}) as double), 1.0))
+    , 6)"""
+
+
+def sql_fingerprint(col: str) -> str:
+    toks = f"list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+    P, M = 1_000_003, (1 << 31) - 1
+    return (f"list_reduce(list_prepend(cast(0 as bigint), "
+            f"list_transform({toks}, t -> cast(length(t)*131 + ascii(substr(t,1,1)) as bigint))), "
+            f"(acc, c) -> (acc * {P} + c) % {M})")

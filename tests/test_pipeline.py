@@ -1,0 +1,194 @@
+"""Pipeline operator tests: dedup, similarity, text analysis, multimodal."""
+
+import os
+
+import duckdb
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tantivy4java_spark.pipeline import dedup as D
+from tantivy4java_spark.pipeline import similarity as S
+from tantivy4java_spark.pipeline import text as TX
+from tantivy4java_spark.pipeline import multimodal as MM
+
+SF = os.path.join(os.environ.get("SPARK_GRAFT_TESTDATA", "/root/testdata"), "sf0.001")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(os.path.join(SF, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(os.path.join(SF, "embeddings.parquet"))
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{os.path.join(SF, t)}.parquet')")
+    return con
+
+
+def test_exact_dedup(spark):
+    rows = [(1, "same text"), (2, "same text"), (3, "other")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    out = D.exact_dedup(df, "text", "id").collect()
+    assert sorted(r["id"] for r in out) == [1, 3]
+
+
+def test_minhash_self_similarity(spark):
+    rows = [(1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (3, "completely different content with other words here")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    pairs = D.minhash_dedup_pairs(df, "text", "id", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs] == [(1, 2, 1.0)]
+
+
+def test_minhash_near_dup(spark, docs):
+    # perturbed copy of a real doc should be caught
+    base = docs.limit(1).collect()[0]
+    text2 = base["text"].replace(" ", " ", 1) + " tail"
+    df = docs.select(F.col("doc_id").alias("id"), "text").union(
+        docs.sparkSession.createDataFrame([(99999, text2)], ["id", "text"]))
+    pairs = D.minhash_dedup_pairs(df, "text", "id", threshold=0.5,
+                                  num_hashes=16, bands=8).collect()
+    assert any(r["id_b"] == 99999 and r["id_a"] == base["doc_id"] for r in pairs)
+
+
+def test_ngram_jaccard_vs_duckdb(spark, docs, duck):
+    sample = docs.filter(F.col("doc_id") < 50)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in D.ngram_jaccard_pairs(sample, "text", "doc_id",
+                                          k=3, threshold=0.2).collect()}
+    exp = duck.execute("""
+        WITH toks AS (
+          SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') t
+          FROM documents WHERE doc_id < 50),
+        sh AS (
+          SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, len(t) - 2),
+            i -> concat_ws(' ', t[i], t[i+1], t[i+2]))) s
+          FROM toks),
+        pairs AS (
+          SELECT a.doc_id ia, b.doc_id ib,
+                 len(list_intersect(a.s, b.s))::DOUBLE /
+                 (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
+          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        SELECT ia, ib, round(j, 6) FROM pairs WHERE j >= 0.2
+    """).fetchall()
+    assert got == {(e[0], e[1]): e[2] for e in exp}
+
+
+def test_simhash_pairs(spark):
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "nothing in common with those documents at all xyz")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    pairs = D.simhash_dup_pairs(df, "text", "id", max_hamming=16).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    assert (1, 3) not in ids and (2, 3) not in ids
+
+
+def test_brute_force_topk_vs_duckdb(emb, duck):
+    qrow = duck.execute(
+        "SELECT embedding FROM embeddings WHERE vec_id = 0").fetchone()
+    qvec = list(qrow[0])
+    got = S.brute_force_topk(emb, "embedding", "vec_id", qvec, k=5).collect()
+    qlit = "[" + ",".join(str(float(x)) for x in qvec) + "]::DOUBLE[]"
+    exp = duck.execute(f"""
+        SELECT vec_id, round(
+          list_dot_product(embedding::DOUBLE[], {qlit}) /
+          (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+           sqrt(list_dot_product({qlit}, {qlit}))), 6) c
+        FROM embeddings ORDER BY c DESC, vec_id LIMIT 5""").fetchall()
+    assert [r["vec_id"] for r in got] == [e[0] for e in exp]
+    for r, e in zip(got, exp):
+        assert abs(r["cosine"] - e[1]) < 1e-5
+
+
+def test_lsh_ann_recall(emb):
+    qvec = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
+    exact = [r["vec_id"] for r in
+             S.brute_force_topk(emb, "embedding", "vec_id", qvec, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              S.lsh_ann_topk(emb, "embedding", "vec_id", qvec, k=10,
+                             nbits=4, multiprobe=1).collect()]
+    # the query vector itself always lands in its own bucket; on this
+    # unclustered random corpus recall@10 is modest by construction
+    assert exact[0] in approx
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_knn_join(spark, emb):
+    left = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding")
+    out = S.knn_join(left, emb, "embedding", "qid", "vec_id", k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == set(range(5))
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        assert rows[0]["vec_id"] == qid  # self is nearest
+        assert abs(rows[0]["cosine"] - 1.0) < 1e-6
+
+
+def test_text_analysis_vs_duckdb(spark, docs, duck):
+    got = (TX.fingerprint(
+        TX.quality_score(
+            TX.bpe_ish_token_count(
+                TX.token_count(docs, "text"), "text"), "text"), "text")
+        .select("doc_id", "n_tokens", "n_bpe", "quality", "fp")
+        .filter(F.col("doc_id") < 30).collect())
+    exp = duck.execute(f"""
+        SELECT doc_id, {TX.sql_token_count('text')} n,
+               {TX.sql_bpe_count('text')} b,
+               {TX.sql_quality('text')} q,
+               {TX.sql_fingerprint('text')} f
+        FROM documents WHERE doc_id < 30 ORDER BY doc_id""").fetchall()
+    got = sorted(got, key=lambda r: r["doc_id"])
+    for r, e in zip(got, exp):
+        assert r["n_tokens"] == e[1], "token count"
+        assert r["n_bpe"] == e[2], "bpe count"
+        assert abs(r["quality"] - e[3]) < 1e-6, "quality"
+        assert r["fp"] == e[4], "fingerprint"
+
+
+def test_lang_id_runs(docs):
+    out = TX.lang_id(docs, "text").groupBy("lang_pred").count().collect()
+    assert sum(r["count"] for r in out) == docs.count()
+
+
+def test_multimodal_features(spark):
+    media = MM.synthesize_media_df(spark, n=30)
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert r["n_bytes"] > 0 and len(r["sha256"]) == 64
+    # strict mode raises through the stub
+    with pytest.raises(Exception):
+        MM.extract_features(media, strict=True).collect()
+
+
+def test_frame_sample_plan(spark):
+    media = MM.synthesize_media_df(spark, n=30)
+    plan = MM.frame_sample_plan(media, every_ms=500)
+    rows = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in rows)
+
+
+def test_embedding_neardup_selfdup(spark, emb):
+    dup = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(77777).alias("vec_id"), "embedding", "label")
+    df = emb.unionByName(dup)
+    pairs = D.embedding_neardup_pairs(df, "embedding", "vec_id",
+                                      threshold=0.999).collect()
+    assert any(r["id_a"] == 0 and r["id_b"] == 77777 for r in pairs)
