@@ -1,0 +1,140 @@
+"""Benchmark harness — prints ONE JSON line.
+
+Measures, at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]:
+
+  1. index-build throughput (docs/sec) over the deterministic synthetic code
+     corpus (input_hint shape; SPARK_GRAFT_BENCH_DOCS, default 20000 docs)
+  2. per-query latency over the built index for each reference query class:
+     term / high-df term / boolean AND / boolean OR / phrase / field-scoped /
+     wildcard / fuzzy / aggregation / top-k=100
+  3. the same latencies over the driver's documents table index
+
+Output: {"metric": ..., "value": <total-wall-sec>, "unit": "sec",
+         "queries": {...per-step seconds...}, "sf": ...,
+         "build": {...docs/sec...}}
+
+Scaling evidence (N vs 4N cores) lives in scale_bench.py — run separately,
+results recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _session(cpus: int):
+    from pyspark.sql import SparkSession
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("tantivy4java_spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def _timed(fn):
+    t0 = time.time()
+    out = fn()
+    return time.time() - t0, out
+
+
+def run_bench(spark, sf_dir: str, n_docs: int, workdir: str) -> dict:
+    from pyspark.sql import functions as F
+    from tantivy4java_spark import aggs as A
+    from tantivy4java_spark import queries as Q
+    from tantivy4java_spark.build import build_index
+    from tantivy4java_spark.corpus import corpus_df
+    from tantivy4java_spark.schema import code_corpus_config, documents_config
+    from tantivy4java_spark.searcher import IndexSearcher
+
+    steps: dict = {}
+
+    # -- 1) code-corpus build throughput ------------------------------------
+    code_dir = os.path.join(workdir, "code_index")
+    corpus = corpus_df(spark, n_docs)
+    sec, stats = _timed(lambda: build_index(
+        spark, corpus, code_corpus_config(), code_dir, num_segments=4))
+    steps["build_code_corpus"] = round(sec, 3)
+    build_info = {"n_docs": stats.num_docs, "docs_per_sec": round(stats.docs_per_sec, 1)}
+
+    s = IndexSearcher(spark, code_dir)
+    qset = {
+        "q_term": Q.Term("content", "shuffle"),
+        "q_term_highdf": Q.Term("content", "import"),
+        "q_bool_and": Q.Boolean(must=[Q.Term("content", "shuffle"),
+                                      Q.Term("lang", "java")]),
+        "q_bool_or": Q.Boolean(should=[Q.Term("content", "executor"),
+                                       Q.Term("content", "driver")]),
+        "q_phrase": Q.Phrase("content", ["public", "static"], slop=0),
+        "q_field_scoped": Q.Boolean(must=[Q.Term("repo", "org0/repo0"),
+                                          Q.Term("content", "partition")]),
+        "q_wildcard": Q.Wildcard("content", "shuf*"),
+        "q_fuzzy": Q.Fuzzy("content", "shufle", 1),
+    }
+    for name, q in qset.items():
+        sec, rows = _timed(lambda q=q: s.search(q, limit=10).collect())
+        steps[name] = round(sec, 3)
+    sec, _ = _timed(lambda: s.search(Q.Term("content", "import"), limit=100).collect())
+    steps["q_top100"] = round(sec, 3)
+    sec, _ = _timed(lambda: A.aggregate(
+        s, Q.Term("content", "shuffle"),
+        {"by_lang": A.Terms("lang", size=10)})["by_lang"].collect())
+    steps["q_agg_terms"] = round(sec, 3)
+
+    # -- 2) driver documents table: build + a query -------------------------
+    docs_dir = os.path.join(workdir, "docs_index")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    sec, dstats = _timed(lambda: build_index(
+        spark, docs, documents_config(), docs_dir,
+        doc_id_col="doc_id", num_segments=2))
+    steps["build_documents"] = round(sec, 3)
+    ds = IndexSearcher(spark, docs_dir)
+    sec, _ = _timed(lambda: ds.search(
+        Q.Boolean(must=[Q.Term("text", "merge"), Q.Term("lang", "en")]),
+        limit=10).collect())
+    steps["q_docs_bool"] = round(sec, 3)
+
+    return {"steps": steps, "build": build_info,
+            "docs_table_build": {"n_docs": dstats.num_docs,
+                                 "docs_per_sec": round(dstats.docs_per_sec, 1)}}
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
+    workdir = tempfile.mkdtemp(prefix="t4s_bench_")
+    spark = _session(cpus)
+    try:
+        t0 = time.time()
+        res = run_bench(spark, sf_dir, n_docs, workdir)
+        total = time.time() - t0
+        out = {
+            "metric": "index-build + query suite wall time (code corpus "
+                      f"{n_docs} docs, local[{cpus}])",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": res["steps"],
+            "sf": float(sf),
+            "build": res["build"],
+            "docs_table_build": res["docs_table_build"],
+        }
+        print(json.dumps(out))
+    finally:
+        spark.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,71 @@
+"""Two-parallelism scaling evidence (north_rule: efficiency >= 0.8 from N to
+4N executors; sandbox stand-in = same job at local[N] and local[4N] cores).
+
+Runs the identical index build (synthetic code corpus, input_hint shape) at
+two core counts in separate SparkSessions and reports throughput at both plus
+scaling efficiency = (throughput_4N / throughput_N) / 4.
+
+Usage: python scale_bench.py [n_docs] [n_small] [n_large]
+Prints one JSON line; results are recorded in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def _build_at(cpus: int, n_docs: int) -> dict:
+    from pyspark.sql import SparkSession
+    from tantivy4java_spark.build import build_index
+    from tantivy4java_spark.corpus import corpus_df
+    from tantivy4java_spark.schema import code_corpus_config
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(f"t4s-scale-{cpus}")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    workdir = tempfile.mkdtemp(prefix=f"t4s_scale_{cpus}_")
+    try:
+        corpus = corpus_df(spark, n_docs, partitions=cpus * 2)
+        t0 = time.time()
+        stats = build_index(spark, corpus, code_corpus_config(),
+                            os.path.join(workdir, "idx"), num_segments=2)
+        wall = time.time() - t0
+        return {"cpus": cpus, "n_docs": stats.num_docs,
+                "wall_sec": round(wall, 2),
+                "docs_per_sec": round(stats.num_docs / wall, 1)}
+    finally:
+        spark.stop()
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
+def main():
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    small = _build_at(n_small, n_docs)
+    large = _build_at(n_large, n_docs)
+    ratio = large["docs_per_sec"] / small["docs_per_sec"]
+    eff = ratio / (n_large / n_small)
+    print(json.dumps({
+        "metric": "index-build scaling efficiency N->4N cores",
+        "n_docs": n_docs,
+        "small": small,
+        "large": large,
+        "speedup": round(ratio, 3),
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -194,8 +194,10 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
         return df.agg(*agg.exprs(name))
     if isinstance(agg, (Terms, MultiTerms)):
         grouped = df.groupBy(*agg.group_cols()).agg(*_sub_exprs(agg.sub))
-        first_key = agg.field if isinstance(agg, Terms) else agg.fields[0]
-        return (grouped.orderBy(F.desc("doc_count"), F.asc(first_key))
+        keys = [agg.field] if isinstance(agg, Terms) else list(agg.fields)
+        # deterministic bucket cut: count desc, then every key asc
+        return (grouped.orderBy(F.desc("doc_count"),
+                                *[F.asc(k) for k in keys])
                 .limit(agg.size))
     if isinstance(agg, Histogram):
         key = agg.key_col().alias("key")

@@ -285,8 +285,10 @@ class IndexBuilder:
             tcol = f"_toks_{fc.name}"
             tok_cols.append((fc, tcol))
             sel.append(self._tokens_expr(fc).alias(tcol))
+        included = {"doc_id"} | {c for c in cfg.id_cols} | \
+            ({"content_sha256"} if cfg.content_col else set())
         for fc in cfg.fields:
-            if not fc.tokenized and fc.type != "string":
+            if not fc.tokenized and fc.type != "string" and fc.name not in included:
                 sel.append(F.col(fc.name))
         docs = seg_df.select(*sel)
         for fc, tcol in tok_cols:

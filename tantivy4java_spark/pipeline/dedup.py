@@ -89,9 +89,11 @@ def minhash_dedup_pairs(df: DataFrame, col: str, id_col: str,
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-    return (cand.withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    # filter on the RAW value, round only for display (keeps threshold
+    # semantics identical to any re-implementation, e.g. the SQL oracle)
+    return (cand.withColumn("_rawj", jac)
+            .filter(F.col("_rawj") >= threshold)
+            .select("id_a", "id_b", F.round("_rawj", 6).alias("jaccard")))
 
 
 def ngram_jaccard_pairs(df: DataFrame, col: str, id_col: str, k: int = 3,
@@ -115,9 +117,9 @@ def ngram_jaccard_pairs(df: DataFrame, col: str, id_col: str, k: int = 3,
                  .withColumnRenamed("n", "n_b"), "id_b"))
     jac = (F.col("inter").cast("double")
            / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"))
-    return (out.withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+    return (out.withColumn("_rawj", jac)
+            .filter(F.col("_rawj") >= threshold)
+            .select("id_a", "id_b", F.round("_rawj", 6).alias("jaccard")))
 
 
 def simhash(df: DataFrame, col: str, out: str = "simhash",
@@ -201,7 +203,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
     """
     from tantivy4java_spark.pipeline.similarity import (
         cosine_expr, hyperplane_bucket_udf, norm_expr)
-    base = df.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"))
+    base = df.select(F.col(id_col).alias("_id"),
+                     F.transform(vec_col, lambda x: x.cast("double")).alias("_v"))
     base = base.withColumn("_n", norm_expr(F.col("_v")))
     if bucketer:
         dim_probe = base.select(F.size("_v").alias("d")).limit(1).collect()
@@ -217,7 +220,8 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str, id_col: str,
     cand = cand.filter(F.col("a._id") < F.col("b._id"))
     cos = cosine_expr(F.col("a._v"), F.col("b._v"),
                       F.col("a._n"), F.col("b._n"))
-    return (cand.withColumn("cosine", F.round(cos, 6))
-            .filter(F.col("cosine") >= threshold)
+    return (cand.withColumn("_rawc", cos)
+            .filter(F.col("_rawc") >= threshold)
             .select(F.col("a._id").alias("id_a"),
-                    F.col("b._id").alias("id_b"), "cosine"))
+                    F.col("b._id").alias("id_b"),
+                    F.round("_rawc", 6).alias("cosine")))

@@ -122,7 +122,7 @@ def knn_join(left: DataFrame, right: DataFrame, vec_col: str,
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .select(F.col("_lid").alias(left_id), F.col("_rid").alias(right_id),
-                    "cosine", F.col("_rn").alias("rank")))
+                    "cosine", F.col("_rn").cast("long").alias("rank")))
 
 
 def ivf_topk(spark: SparkSession, df: DataFrame, vec_col: str, id_col: str,
