@@ -123,102 +123,106 @@ def _norm_id_udf():
     return _norm
 
 
-def _encode_blocks_fn(block_size: int, with_scores: bool,
-                      idf_map=None, norm_decode=None, avgdl_map=None):
-    """mapInPandas fn: (field,term,shard,doc_id,tf,norm_id[,idf_w]) -> block rows.
+def _group_change(pdf: pd.DataFrame) -> np.ndarray:
+    """First-row-of-(field,term,shard)-group marker over a sorted frame."""
+    n = len(pdf)
+    f = pdf["field"].to_numpy()
+    t = pdf["term"].to_numpy()
+    sh = pdf["shard"].to_numpy()
+    change = np.ones(n, dtype=bool)
+    if n > 1:
+        change[1:] = (f[1:] != f[:-1]) | (t[1:] != t[:-1]) | (sh[1:] != sh[:-1])
+    return change
 
-    Input partitions are sorted by (field,term,shard,doc_id); groups are
-    contiguous, all numpy inside.
+
+def _blocks_frame(pdf: pd.DataFrame, blocks: dict) -> pd.DataFrame:
+    ri = blocks["row_index"]
+    return pd.DataFrame({
+        "field": pdf["field"].to_numpy()[ri],
+        "term": pdf["term"].to_numpy()[ri],
+        "shard": pdf["shard"].to_numpy()[ri].astype(np.int64),
+        "block_id": blocks["block_id"],
+        "first_doc": blocks["first_doc"],
+        "last_doc": blocks["last_doc"],
+        "count": blocks["count"].astype(np.int64),
+        "docs_bin": blocks["docs_bin"],
+        "tfs_bin": blocks["tfs_bin"],
+        "norms_bin": blocks["norms_bin"],
+        "max_tf": blocks["max_tf"],
+        "block_max_score": blocks["block_max_score"],
+    })
+
+
+def _encode_blocks_fn(block_size: int, with_scores: bool,
+                      norm_decode=None, avgdl_map=None):
+    """mapInPandas: (field,term,shard,doc_id,tf,norm_id[,idf_w]) -> block rows.
+
+    Input partitions sorted by (field,term,shard,doc_id); fully vectorized —
+    the only per-block Python is byte-buffer slicing (codec segmented path).
     """
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            out = {k: [] for k in ("field", "term", "shard", "block_id", "first_doc",
-                                   "last_doc", "count", "docs_bin", "tfs_bin",
-                                   "norms_bin", "max_tf", "block_max_score")}
-            for (field, term, shard), g in pdf.groupby(["field", "term", "shard"], sort=False):
-                docs = g["doc_id"].to_numpy(dtype=np.int64)
-                tfs = g["tf"].to_numpy(dtype=np.int64)
-                norms = g["norm_id"].to_numpy(dtype=np.int64)
-                order = np.argsort(docs, kind="stable")
-                docs, tfs, norms = docs[order], tfs[order], norms[order]
-                if with_scores:
-                    idf_w = float(g["idf_w"].iloc[0])
-                    avgdl = avgdl_map[field]
-                    lens = norm_decode[norms]
-                    scores = idf_w * tfs / (tfs + K1 * (1.0 - B + B * lens / avgdl))
-                n = docs.size
-                for b, start in enumerate(range(0, n, block_size)):
-                    end = min(start + block_size, n)
-                    d, t, m = docs[start:end], tfs[start:end], norms[start:end]
-                    out["field"].append(field)
-                    out["term"].append(term)
-                    out["shard"].append(shard)
-                    out["block_id"].append(b)
-                    out["first_doc"].append(int(d[0]))
-                    out["last_doc"].append(int(d[-1]))
-                    out["count"].append(end - start)
-                    out["docs_bin"].append(codec.encode_doc_block(d, base=int(d[0])))
-                    out["tfs_bin"].append(codec.encode_tf_block(t))
-                    out["norms_bin"].append(m.astype(np.uint8).tobytes())
-                    out["max_tf"].append(int(t.max()))
-                    out["block_max_score"].append(
-                        float(scores[start:end].max()) if with_scores else 0.0)
-            yield pd.DataFrame(out)
+            docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+            tfs = pdf["tf"].to_numpy(dtype=np.int64)
+            norms = pdf["norm_id"].to_numpy(dtype=np.int64)
+            scores = None
+            if with_scores:
+                idf_w = pdf["idf_w"].to_numpy(dtype=np.float64)
+                avgdl = pdf["field"].map(avgdl_map).to_numpy(dtype=np.float64)
+                lens = norm_decode[norms].astype(np.float64)
+                scores = idf_w * tfs / (tfs + K1 * (1.0 - B + B * lens / avgdl))
+            blocks = codec.encode_blocks_segmented(
+                _group_change(pdf), docs, tfs, norms, block_size, scores)
+            yield _blocks_frame(pdf, blocks)
 
     return encode
 
 
-def _decode_reencode_fn(block_size: int, norm_decode, avgdl_map):
+def _decode_reencode_fn(block_size: int, norm_decode, avgdl_map,
+                        num_docs: int):
     """Merge-phase mapInPandas: decode segment blocks per (field,term,shard)
-    (already doc-ordered across segments since segment doc ranges are
-    disjoint and rows are sorted by first_doc), concat, re-block with final
-    block_max_score."""
+    (already doc-ordered across segments: segment doc ranges are disjoint and
+    rows are sorted by first_doc), concat, re-block with final
+    block_max_score.  Vectorized end to end.
+
+    Per-term global idf arrives as a pre-joined ``idf_w`` block column
+    (broadcast join against the small terms stats — the shuffle key stays
+    (field, term, SHARD) so mega-terms never serialize through one reducer,
+    per the north-rule skew requirement)."""
 
     def merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if len(pdf) == 0:
                 continue
-            out = {k: [] for k in ("field", "term", "shard", "block_id", "first_doc",
-                                   "last_doc", "count", "docs_bin", "tfs_bin",
-                                   "norms_bin", "max_tf", "block_max_score")}
-            for (field, term, shard), g in pdf.groupby(["field", "term", "shard"], sort=False):
-                docs_l, tfs_l, norms_l = [], [], []
-                for first, cnt, dbin, tbin, nbin in zip(
-                        g["first_doc"].to_numpy(), g["count"].to_numpy(),
-                        g["docs_bin"], g["tfs_bin"], g["norms_bin"]):
-                    c = int(cnt)
-                    docs_l.append(codec.decode_doc_block(dbin, int(first), c))
-                    tfs_l.append(codec.decode_tf_block(tbin, c))
-                    norms_l.append(np.frombuffer(nbin, dtype=np.uint8).astype(np.int64))
-                docs = np.concatenate(docs_l)
-                tfs = np.concatenate(tfs_l)
-                norms = np.concatenate(norms_l)
-                order = np.argsort(docs, kind="stable")
-                docs, tfs, norms = docs[order], tfs[order], norms[order]
-                idf_w = float(g["idf_w"].iloc[0])
-                avgdl = avgdl_map[field]
-                lens = norm_decode[norms]
-                scores = idf_w * tfs / (tfs + K1 * (1.0 - B + B * lens / avgdl))
-                n = docs.size
-                for b, start in enumerate(range(0, n, block_size)):
-                    end = min(start + block_size, n)
-                    d, t, m = docs[start:end], tfs[start:end], norms[start:end]
-                    out["field"].append(field)
-                    out["term"].append(term)
-                    out["shard"].append(shard)
-                    out["block_id"].append(b)
-                    out["first_doc"].append(int(d[0]))
-                    out["last_doc"].append(int(d[-1]))
-                    out["count"].append(end - start)
-                    out["docs_bin"].append(codec.encode_doc_block(d, base=int(d[0])))
-                    out["tfs_bin"].append(codec.encode_tf_block(t))
-                    out["norms_bin"].append(m.astype(np.uint8).tobytes())
-                    out["max_tf"].append(int(t.max()))
-                    out["block_max_score"].append(float(scores[start:end].max()))
-            yield pd.DataFrame(out)
+            counts = pdf["count"].to_numpy(dtype=np.int64)
+            vals = codec.decode_blocks_concat(
+                pdf["first_doc"].to_numpy(dtype=np.int64), counts,
+                list(pdf["docs_bin"]), list(pdf["tfs_bin"]),
+                list(pdf["norms_bin"]))
+            bov = vals["block_of_value"]
+            fields = pdf["field"].to_numpy()[bov]
+            terms = pdf["term"].to_numpy()[bov]
+            shards = pdf["shard"].to_numpy()[bov]
+            docs = vals["doc_id"]
+            tfs = vals["tf"]
+            norms = vals["norm_id"]
+            idf_w = pdf["idf_w"].to_numpy(dtype=np.float64)[bov]
+            n = docs.size
+            vpdf = pd.DataFrame({"field": fields, "term": terms, "shard": shards})
+            avgdl = vpdf["field"].map(avgdl_map).to_numpy(dtype=np.float64)
+            lens = norm_decode[norms].astype(np.float64)
+            scores = idf_w * tfs / (tfs + K1 * (1.0 - B + B * lens / avgdl))
+            schange = np.ones(n, dtype=bool)
+            if n > 1:
+                schange[1:] = ((fields[1:] != fields[:-1])
+                               | (terms[1:] != terms[:-1])
+                               | (shards[1:] != shards[:-1]))
+            blocks = codec.encode_blocks_segmented(
+                schange, docs, tfs, norms, block_size, scores)
+            yield _blocks_frame(vpdf, blocks)
 
     return merge
 
@@ -362,12 +366,16 @@ class IndexBuilder:
         doc_out = docs.drop(*[tcol for _, tcol in tok_cols])
         doc_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
 
-        num_docs = docs.count()
-        field_tokens = {}
-        for fc, _ in tok_cols:
-            s = docs.agg(F.sum(F.col(f"len_{fc.name}")).alias("s")).collect()[0]["s"]
-            field_tokens[fc.name] = int(s or 0)
-        lo_hi = docs.agg(F.min("doc_id").alias("lo"), F.max("doc_id").alias("hi")).collect()[0]
+        # one agg job for all per-segment stats
+        stat_exprs = [F.count(F.lit(1)).alias("_n"),
+                      F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")]
+        stat_exprs += [F.sum(F.col(f"len_{fc.name}")).alias(f"_tok_{fc.name}")
+                       for fc, _ in tok_cols]
+        srow = docs.agg(*stat_exprs).collect()[0]
+        num_docs = srow["_n"]
+        field_tokens = {fc.name: int(srow[f"_tok_{fc.name}"] or 0)
+                        for fc, _ in tok_cols}
+        lo_hi = {"lo": srow["_lo"], "hi": srow["_hi"]}
         per_doc_term.unpersist()
         docs.unpersist()
         return {
@@ -419,19 +427,26 @@ class IndexBuilder:
             .sortWithinPartitions("doc_id") \
             .write.mode("overwrite").parquet(self._p("docs"))
         docs = self.spark.read.parquet(self._p("docs"))
-        num_docs = docs.count()
-        stats = {"num_docs": int(num_docs), "fields": {}}
-        for fc in cfg.text_fields:
-            lc = f"len_{fc.name}"
-            if lc in docs.columns:
-                tot = docs.agg(F.sum(lc).alias("s")).collect()[0]["s"] or 0
-                stats["fields"][fc.name] = {
-                    "num_docs": int(num_docs),
-                    "total_tokens": int(tot),
-                    "avgdl": (float(tot) / num_docs) if num_docs else 0.0,
-                }
+        len_cols = [fc.name for fc in cfg.text_fields
+                    if f"len_{fc.name}" in docs.columns]
+        srow = docs.agg(F.count(F.lit(1)).alias("_n"),
+                        *[F.sum(f"len_{n}").alias(f"_tok_{n}")
+                          for n in len_cols]).collect()[0]
+        num_docs = int(srow["_n"])
+        stats = {"num_docs": num_docs, "fields": {}}
+        for n in len_cols:
+            tot = int(srow[f"_tok_{n}"] or 0)
+            stats["fields"][n] = {
+                "num_docs": num_docs,
+                "total_tokens": tot,
+                "avgdl": (float(tot) / num_docs) if num_docs else 0.0,
+            }
 
-        # final postings with block_max_score (needs global idf + avgdl)
+        # final postings with block_max_score (global idf + avgdl).
+        # ONE shuffle of the posting data, keyed (field, term, shard) so a
+        # mega-term's list splits across reducers (north-rule skew handling);
+        # the per-term idf arrives via a BROADCAST join of the tiny
+        # (field, term, df) stats — no second data shuffle.
         from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
         avgdl_map = {f: s["avgdl"] for f, s in stats["fields"].items()}
         # non-text (string/keyword) fields: avgdl 1.0 (fieldnorm-free scoring)
@@ -442,28 +457,23 @@ class IndexBuilder:
             F.log(F.lit(1.0) + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
                   / (F.col("df") + F.lit(0.5))) * F.lit(K1 + 1.0),
         ).select("field", "term", "idf_w")
-
         seg_postings = self.spark.read.parquet(*[os.path.join(d, "postings") for d in seg_dirs])
-        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
-        merged_schema = _POSTINGS_SCHEMA
-        input_schema = T.StructType(merged_schema.fields + [T.StructField("idf_w", T.DoubleType())])
-        merge_fn = _decode_reencode_fn(cfg.block_size, FIELDNORM_TABLE, avgdl_map)
-        (seg_postings.join(idf_df, ["field", "term"])
+        merge_fn = _decode_reencode_fn(cfg.block_size, FIELDNORM_TABLE,
+                                       avgdl_map, num_docs)
+        (seg_postings
+         .join(F.broadcast(idf_df), ["field", "term"])
          .repartition(nparts, "field", "term", "shard")
          .sortWithinPartitions("field", "term", "shard", "first_doc")
-         .mapInPandas(merge_fn, merged_schema)
-         .repartition(max(1, nparts // 4), "field", "term")
-         .sortWithinPartitions("field", "term", "shard", "block_id")
+         .mapInPandas(merge_fn, _POSTINGS_SCHEMA)
          .write.mode("overwrite").parquet(self._p("postings")))
 
-        # positions: union segments, cluster by (field, term)
-        pos_dirs = [os.path.join(d, "positions") for d in seg_dirs
-                    if os.path.exists(os.path.join(d, "positions"))]
-        if pos_dirs:
-            (self.spark.read.parquet(*pos_dirs)
-             .repartition(max(1, nparts // 4), "field", "term")
-             .sortWithinPartitions("field", "term", "doc_id")
-             .write.mode("overwrite").parquet(self._p("positions")))
+        # positions stay in their segment directories (already clustered by
+        # (field, term, doc_id)); the searcher reads the dir list from stats —
+        # no merge-time rewrite of the largest table.
+        pos_dirs = [os.path.join("segments", f"seg={s:05d}", "positions")
+                    for s in ok_segments
+                    if os.path.exists(self._p("segments", f"seg={s:05d}", "positions"))]
+        stats["positions_dirs"] = pos_dirs
 
         with open(self._p("stats.json"), "w") as fh:
             json.dump(stats, fh, indent=2, sort_keys=True)
@@ -490,7 +500,11 @@ class IndexBuilder:
                 "block_size": self.config.block_size,
             })
 
+        if doc_id_col is None and order_cols is None:
+            # the zipWithIndex path scans the input twice; cache it first
+            df = df.persist()
         with_ids = assign_doc_ids(df, order_cols=order_cols, doc_id_col=doc_id_col)
+        with_ids = with_ids.persist()
         nseg = max(1, self.num_segments)
         if nseg > 1:
             # doc-range segments: deterministic, independently committable
@@ -499,7 +513,6 @@ class IndexBuilder:
             seg_width = max(1, math.ceil(total / nseg))
         else:
             seg_width = None
-        with_ids = with_ids.persist()
 
         completed = 0
         for sid in range(nseg):
@@ -521,6 +534,7 @@ class IndexBuilder:
         merge_action = self._merge(list(range(nseg)))
         self._append_manifest(merge_action)
         with_ids.unpersist()
+        df.unpersist()
         wall = time.time() - t0
         n = merge_action["num_docs"]
         return BuildStats(num_docs=n, segments=nseg, wall_sec=wall,

@@ -21,15 +21,18 @@ import numpy as np
 BLOCK_SIZE = 128  # docs per block (Lucene/tantivy block width)
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array (vectorized; loops over byte-slots only)."""
+def varint_encode_with_lengths(values: np.ndarray):
+    """LEB128-encode a uint64 array -> (bytes, per-value byte lengths).
+
+    Vectorized: loops only over byte-slots (<=10 passes), never over values.
+    The lengths array lets callers slice per-group/per-block sub-buffers out
+    of one big encode (the segmented fast path used by the index build)."""
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # number of 7-bit groups per value
+        return b"", np.zeros(0, dtype=np.int64)
+    # number of 7-bit groups per value via bit length (log2-free, exact)
     nbits = np.zeros(v.shape, dtype=np.int64)
     tmp = v.copy()
-    # bit_length via successive shifts is O(10) passes; use frexp-free approach
     nz = tmp > 0
     while nz.any():
         nbits[nz] += 1
@@ -51,7 +54,13 @@ def varint_encode(values: np.ndarray) -> bytes:
         pos[active] += 1
         left[active] -= 1
         active = left > 0
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a uint64 array."""
+    buf, _ = varint_encode_with_lengths(values)
+    return buf
 
 
 def varint_decode(buf: bytes, count: int | None = None) -> np.ndarray:
@@ -101,6 +110,86 @@ def encode_tf_block(tfs: np.ndarray) -> bytes:
 
 def decode_tf_block(buf: bytes, count: int | None = None) -> np.ndarray:
     return varint_decode(buf, count).astype(np.int64)
+
+
+def encode_blocks_segmented(group_change: np.ndarray, docs: np.ndarray,
+                            tfs: np.ndarray, norms: np.ndarray,
+                            block_size: int = BLOCK_SIZE,
+                            scores: np.ndarray | None = None) -> dict:
+    """Block-encode many posting lists in one vectorized pass.
+
+    Inputs are value-level arrays sorted by (group, doc_id); ``group_change``
+    marks the first row of each (field,term,shard) group.  Returns per-BLOCK
+    arrays: row_index (index of the block's first value, for key lookup),
+    block_id, first_doc, last_doc, count, docs_bin, tfs_bin, norms_bin,
+    max_tf, block_max_score.  The only per-block Python is buffer slicing.
+    """
+    n = docs.size
+    out: dict = {k: [] for k in ()}
+    gstart_idx = np.nonzero(group_change)[0]
+    gid = np.cumsum(group_change) - 1
+    r = np.arange(n, dtype=np.int64) - gstart_idx[gid]
+    bchange = group_change | (r % block_size == 0)
+    bstart = np.nonzero(bchange)[0]
+    bend = np.append(bstart[1:], n)
+    counts = bend - bstart
+    first = docs[bstart]
+    last = docs[bend - 1]
+    block_id = (r[bstart] // block_size).astype(np.int64)
+
+    gaps = np.empty(n, dtype=np.uint64)
+    if n:
+        gaps[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+    gaps[bstart] = 0
+    dbuf, dlens = varint_encode_with_lengths(gaps)
+    doffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(dlens, out=doffs[1:])
+    docs_bin = [dbuf[doffs[s]:doffs[e]] for s, e in zip(bstart, bend)]
+
+    tbuf, tlens = varint_encode_with_lengths(tfs.astype(np.uint64))
+    toffs = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(tlens, out=toffs[1:])
+    tfs_bin = [tbuf[toffs[s]:toffs[e]] for s, e in zip(bstart, bend)]
+
+    nbuf = norms.astype(np.uint8).tobytes()
+    norms_bin = [nbuf[s:e] for s, e in zip(bstart, bend)]
+
+    max_tf = np.maximum.reduceat(tfs, bstart) if n else np.zeros(0, np.int64)
+    if scores is not None and n:
+        bmax = np.maximum.reduceat(scores, bstart)
+    else:
+        bmax = np.zeros(bstart.size, dtype=np.float64)
+    return {
+        "row_index": bstart, "block_id": block_id, "first_doc": first,
+        "last_doc": last, "count": counts, "docs_bin": docs_bin,
+        "tfs_bin": tfs_bin, "norms_bin": norms_bin,
+        "max_tf": max_tf.astype(np.int64), "block_max_score": bmax,
+    }
+
+
+def decode_blocks_concat(first_docs: np.ndarray, counts: np.ndarray,
+                         docs_bins, tfs_bins, norms_bins) -> dict:
+    """Decode MANY blocks in one vectorized pass.
+
+    Returns value-level arrays (doc_id, tf, norm_id) plus ``block_of_value``
+    (index of the source block per value) so callers can repeat key columns.
+    """
+    total = int(counts.sum()) if counts.size else 0
+    if total == 0:
+        return {"doc_id": np.zeros(0, np.int64), "tf": np.zeros(0, np.int64),
+                "norm_id": np.zeros(0, np.int64),
+                "block_of_value": np.zeros(0, np.int64)}
+    gaps = varint_decode(b"".join(docs_bins), total).astype(np.int64)
+    vstart = np.zeros(counts.size, dtype=np.int64)
+    np.cumsum(counts[:-1], out=vstart[1:])
+    block_of_value = np.repeat(np.arange(counts.size, dtype=np.int64), counts)
+    c = np.cumsum(gaps)
+    docs = (np.repeat(first_docs, counts)
+            + c - np.repeat(c[vstart], counts))
+    tfs = varint_decode(b"".join(tfs_bins), total).astype(np.int64)
+    norms = np.frombuffer(b"".join(norms_bins), dtype=np.uint8).astype(np.int64)
+    return {"doc_id": docs, "tf": tfs, "norm_id": norms,
+            "block_of_value": block_of_value}
 
 
 def encode_positions(positions: np.ndarray) -> bytes:

@@ -55,26 +55,21 @@ _SCORED_SCHEMA = T.StructType([
 
 
 def _decode_blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Vectorized block decode: one pass over the whole Arrow batch."""
     for pdf in it:
         if len(pdf) == 0:
             continue
-        fields, terms, docs, tfs, norms = [], [], [], [], []
-        for fld, trm, first, cnt, dbin, tbin, nbin in zip(
-                pdf["field"].to_numpy(), pdf["term"].to_numpy(),
-                pdf["first_doc"].to_numpy(), pdf["count"].to_numpy(),
-                pdf["docs_bin"], pdf["tfs_bin"], pdf["norms_bin"]):
-            c = int(cnt)
-            docs.append(codec.decode_doc_block(dbin, int(first), c))
-            tfs.append(codec.decode_tf_block(tbin, c))
-            norms.append(np.frombuffer(nbin, dtype=np.uint8).astype(np.int64))
-            fields.append(np.repeat(fld, c))
-            terms.append(np.repeat(trm, c))
+        counts = pdf["count"].to_numpy(dtype=np.int64)
+        vals = codec.decode_blocks_concat(
+            pdf["first_doc"].to_numpy(dtype=np.int64), counts,
+            list(pdf["docs_bin"]), list(pdf["tfs_bin"]), list(pdf["norms_bin"]))
+        bov = vals["block_of_value"]
         yield pd.DataFrame({
-            "field": np.concatenate(fields),
-            "term": np.concatenate(terms),
-            "doc_id": np.concatenate(docs),
-            "tf": np.concatenate(tfs),
-            "norm_id": np.concatenate(norms),
+            "field": pdf["field"].to_numpy()[bov],
+            "term": pdf["term"].to_numpy()[bov],
+            "doc_id": vals["doc_id"],
+            "tf": vals["tf"],
+            "norm_id": vals["norm_id"],
         })
 
 
@@ -124,6 +119,10 @@ class IndexSearcher:
         return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
 
     def positions(self) -> DataFrame:
+        dirs = self._stats.get("positions_dirs")
+        if dirs:
+            return self.spark.read.parquet(
+                *[os.path.join(self.index_dir, d) for d in dirs])
         return self.spark.read.parquet(os.path.join(self.index_dir, "positions"))
 
     def avgdl(self, field: str) -> float:
