@@ -31,7 +31,7 @@ from tantivy4java_spark.pipeline import dedup as D
 from tantivy4java_spark.pipeline import multimodal as MM
 from tantivy4java_spark.pipeline import similarity as S
 from tantivy4java_spark.pipeline import text as TX
-from tantivy4java_spark.schema import documents_config
+from tantivy4java_spark.schema import FieldConfig, IndexConfig, documents_config
 from tantivy4java_spark.scoring import B, K1
 from tantivy4java_spark.searcher import IndexSearcher
 
@@ -51,6 +51,27 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         build_index(spark, docs, documents_config(), idx_dir,
                     doc_id_col="doc_id", num_segments=2)
+    _SEARCHERS[key] = IndexSearcher(spark, idx_dir)
+    return _SEARCHERS[key]
+
+
+def _events_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index over the events table: keyword + JSON (props) + fast fields."""
+    key = "events:" + os.path.abspath(sf_dir)
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_events_index_{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        cfg = IndexConfig(
+            fields=[FieldConfig("event_type", "string"),
+                    FieldConfig("props", "json"),
+                    FieldConfig("value", "f64", fast=True),
+                    FieldConfig("user_id", "i64", fast=True)],
+            id_cols=["event_id", "event_type", "user_id", "value"],
+        )
+        build_index(spark, ev, cfg, idx_dir, doc_id_col="event_id")
     _SEARCHERS[key] = IndexSearcher(spark, idx_dir)
     return _SEARCHERS[key]
 
@@ -213,6 +234,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _searcher(sp, sf).score_query(Q.Exists("n_chars"))
         .agg(F.count(F.lit(1)).alias("n")))
     q["q19_topk100"] = lambda sp, sf: _topk(sp, sf, Q.Term("text", "the"), k=100)
+    # JSON dot-path queries (Q11) over the events.props JSON column
+    q["q20_json_term"] = lambda sp, sf: (
+        _events_searcher(sp, sf).score_query(Q.Term("props.k", 87))
+        .select("doc_id", F.round("score", 6).alias("score")))
+    q["q21_json_range"] = lambda sp, sf: (
+        _events_searcher(sp, sf).score_query(
+            Q.Range("props.k", 10, 20, True, True))
+        .select("doc_id", F.col("score").cast("double").alias("score")))
+    q["q22_json_exists"] = lambda sp, sf: (
+        _events_searcher(sp, sf).score_query(Q.Exists("props.k"))
+        .agg(F.count(F.lit(1)).alias("n")))
 
     # ---- aggregations (SURVEY §2.3) ---------------------------------------
     q["a01_terms_sub"] = lambda sp, sf: A.apply_agg(
@@ -410,6 +442,23 @@ ORDER BY {dm} DESC, COALESCE(a.doc_id, b.doc_id) ASC LIMIT 10"""
     o["q17_matchall_count"] = "SELECT count(*) AS n FROM documents"
     o["q18_exists"] = "SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL"
     o["q19_topk100"] = _single_term_sql("the", k=100)
+
+    # JSON path queries over events.props ('{"k": <int>}' shape).
+    # BM25 with one (path,token) pair per doc: tf=1, quantized len=1, avgdl =
+    # total_pairs/num_docs = 1.0 exactly.
+    _k = "regexp_extract(props, '\"k\": (-?\\d+)', 1)"
+    o["q20_json_term"] = f"""
+WITH m AS (SELECT event_id AS doc_id FROM events WHERE {_k} = '87'),
+d AS (SELECT count(*)::DOUBLE df FROM m),
+n AS (SELECT count(*)::DOUBLE n FROM events)
+SELECT m.doc_id,
+       round((ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5)) * {_IDFW})
+             * 1.0 / (1.0 + {K1} * ({1.0 - B} + {B} * 1.0 / 1.0)), 6) AS score
+FROM m, d, n"""
+    o["q21_json_range"] = f"""
+SELECT event_id AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM events
+WHERE try_cast({_k} AS DOUBLE) BETWEEN 10 AND 20"""
+    o["q22_json_exists"] = f"SELECT count(*) AS n FROM events WHERE {_k} <> ''"
 
     # ---- aggregations -------------------------------------------------------
     o["a01_terms_sub"] = """

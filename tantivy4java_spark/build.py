@@ -123,6 +123,176 @@ def _norm_id_udf():
     return _norm
 
 
+_PDT_SCHEMA = T.StructType([
+    T.StructField("doc_id", T.LongType()),
+    T.StructField("field", T.StringType()),
+    T.StructField("term", T.StringType()),
+    T.StructField("tf", T.LongType()),
+    T.StructField("norm_id", T.LongType()),
+    T.StructField("pos_bin", T.BinaryType()),
+])
+
+_TOK_REGEX = {"default": r"[^\W_]+", "simple": r"[^\W_]+", "whitespace": r"\S+"}
+
+JSON_PATH_SEP = "\x00"  # term key = "<dot.path>\x00<token>" (Q11 analog)
+
+
+def _json_agg_fn(field: str, tokenizer: str, limit: int):
+    """mapInPandas for JSON fields: schema-less dot-path flattening
+    (reference: core/JsonObjectOptions.java, README.md:111-179).
+
+    Each (path, value) pair becomes terms "<path>\\x00<token>": strings run
+    through the field tokenizer, numbers/bools become exact tokens.  JSON
+    parsing is per-row (stdlib C json) — documented as the one per-row step;
+    everything downstream is vectorized.
+    """
+    import json as _json
+    import re as _re
+    rex = _re.compile(_TOK_REGEX.get(tokenizer, _TOK_REGEX["default"]))
+
+    def flatten(prefix, obj, out):
+        if isinstance(obj, dict):
+            for k, v in obj.items():
+                flatten(f"{prefix}.{k}" if prefix else str(k), v, out)
+        elif isinstance(obj, (list, tuple)):
+            for v in obj:
+                flatten(prefix, v, out)
+        elif isinstance(obj, bool):
+            out.append((prefix, "true" if obj else "false"))
+        elif isinstance(obj, (int, float)):
+            out.append((prefix, _json_num_token(obj)))
+        elif obj is None:
+            pass
+        else:
+            for tok in rex.findall(str(obj)):
+                tok = tok.lower()
+                if len(tok.encode("utf-8")) <= limit:
+                    out.append((prefix, tok))
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {"doc_id": [], "field": [], "term": [], "tf": [],
+                    "norm_id": [], "pos_bin": []}
+            for did, raw in zip(pdf["doc_id"].to_numpy(dtype=np.int64),
+                                pdf[field]):
+                if raw is None:
+                    continue
+                try:
+                    obj = raw if isinstance(raw, dict) else _json.loads(raw)
+                except (ValueError, TypeError):
+                    continue
+                pairs: list = []
+                flatten("", obj, pairs)
+                if not pairs:
+                    continue
+                from collections import Counter
+                cnt = Counter(f"{p}{JSON_PATH_SEP}{t}" for p, t in pairs)
+                norm = int(fieldnorm_to_id([len(pairs)])[0])
+                for term, tf in cnt.items():
+                    rows["doc_id"].append(int(did))
+                    rows["field"].append(field)
+                    rows["term"].append(term)
+                    rows["tf"].append(tf)
+                    rows["norm_id"].append(norm)
+                    rows["pos_bin"].append(None)
+            yield pd.DataFrame(rows).astype(
+                {"doc_id": "int64", "tf": "int64", "norm_id": "int64"})
+
+    return run
+
+
+def json_query_token(value) -> str:
+    """Typed query value -> the token the JSON indexer produced."""
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, (int, float)):
+        return _json_num_token(value)
+    from tantivy4java_spark.analysis import tokenize_text
+    toks = tokenize_text(str(value), "default")
+    return toks[0][0] if toks else ""
+
+
+def _json_num_token(v) -> str:
+    if isinstance(v, float) and v.is_integer():
+        return str(int(v))
+    return str(v)
+
+
+def _tokenize_agg_fn(field: str, tokenizer: str, limit: int):
+    """mapInPandas: (doc_id, <field>) -> per-(doc, term) rows with tf,
+    fieldnorm id, and delta-varint positions — all inside ONE narrow pass.
+
+    Replaces explode -> shuffle -> groupBy(doc,term) -> collect_list: token
+    aggregation is per-document, so it never needs a shuffle.  C-level regex
+    via pandas .str, numpy lexsort/reduceat for grouping; the only per-group
+    Python is byte-buffer slicing.  Token semantics match analysis.py
+    bit-for-bit (positions assigned pre-drop, >limit-byte tokens dropped)."""
+    rex = _TOK_REGEX[tokenizer]
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            texts = pdf[field].fillna("").astype(str)
+            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            token_lists = texts.str.findall(rex)
+            counts = token_lists.str.len().to_numpy(dtype=np.int64)
+            total = int(counts.sum())
+            if total == 0:
+                yield pd.DataFrame({k: [] for k in
+                                    ("doc_id", "field", "term", "tf",
+                                     "norm_id", "pos_bin")}).astype(
+                    {"doc_id": "int64", "tf": "int64", "norm_id": "int64"})
+                continue
+            flat = pd.Series(np.concatenate(
+                [np.asarray(x, dtype=object) for x in token_lists]))
+            flat = flat.str.lower()
+            doc_rep = np.repeat(np.arange(len(pdf)), counts)
+            offsets = np.zeros(len(pdf), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offsets[1:])
+            pos = np.arange(total, dtype=np.int64) - offsets[doc_rep]
+            # drop tokens > limit BYTES (positions keep their gaps)
+            char_len = flat.str.len().to_numpy()
+            keep = char_len * 4 <= limit  # utf8 len <= 4*chars -> surely kept
+            maybe = ~keep & (char_len <= limit)  # needs exact byte check
+            if maybe.any():
+                enc = flat[maybe].str.encode("utf-8").str.len().to_numpy()
+                keep[np.nonzero(maybe)[0][enc <= limit]] = True
+            flat_np = flat.to_numpy()
+            if not keep.all():
+                flat_np, doc_rep, pos = flat_np[keep], doc_rep[keep], pos[keep]
+                kept_counts = np.bincount(doc_rep, minlength=len(pdf))
+            else:
+                kept_counts = counts
+            norms = fieldnorm_to_id(kept_counts)
+            codes, uniques = pd.factorize(flat_np)
+            order = np.lexsort((pos, codes, doc_rep))
+            sd, sc, sp = doc_rep[order], codes[order], pos[order]
+            change = np.ones(sd.size, dtype=bool)
+            change[1:] = (sd[1:] != sd[:-1]) | (sc[1:] != sc[:-1])
+            gstart = np.nonzero(change)[0]
+            gend = np.append(gstart[1:], sd.size)
+            tf = (gend - gstart).astype(np.int64)
+            # delta-varint positions with resets at group starts
+            gaps = np.empty(sd.size, dtype=np.uint64)
+            gaps[1:] = (sp[1:] - sp[:-1]).astype(np.uint64)
+            gaps[gstart] = sp[gstart].astype(np.uint64)
+            pbuf, plens = codec.varint_encode_with_lengths(gaps)
+            poffs = np.zeros(sd.size + 1, dtype=np.int64)
+            np.cumsum(plens, out=poffs[1:])
+            pos_bin = [pbuf[poffs[s]:poffs[e]] for s, e in zip(gstart, gend)]
+            yield pd.DataFrame({
+                "doc_id": doc_ids[sd[gstart]],
+                "field": np.repeat(field, gstart.size),
+                "term": uniques[sc[gstart]],
+                "tf": tf,
+                "norm_id": norms[sd[gstart]].astype(np.int64),
+                "pos_bin": pos_bin,
+            })
+
+    return run
+
+
 def _group_change(pdf: pd.DataFrame) -> np.ndarray:
     """First-row-of-(field,term,shard)-group marker over a sorted frame."""
     n = len(pdf)
@@ -238,13 +408,18 @@ class BuildStats:
 class IndexBuilder:
     def __init__(self, spark: SparkSession, config: IndexConfig, index_dir: str,
                  use_sql_tokenizer: bool = True, num_segments: int = 1,
-                 shuffle_partitions: Optional[int] = None):
+                 shuffle_partitions: Optional[int] = None,
+                 segment_concurrency: int = 2):
         self.spark = spark
         self.config = config
         self.index_dir = index_dir.rstrip("/")
         self.use_sql_tokenizer = use_sql_tokenizer
         self.num_segments = num_segments
         self.shuffle_partitions = shuffle_partitions
+        # segments are independent jobs; submitting a few concurrently keeps
+        # the cluster saturated through each job's serial tail (driver-side
+        # threads — Spark's scheduler interleaves the stages)
+        self.segment_concurrency = max(1, segment_concurrency)
 
     # -- paths ------------------------------------------------------------
     def _p(self, *parts) -> str:
@@ -280,67 +455,59 @@ class IndexBuilder:
         seg_dir = self._p("segments", f"seg={seg_id:05d}")
         norm_udf = _norm_id_udf()
 
-        # docs table row: ids + sha256 + per-field token arrays/lengths/norms
+        # docs table row: ids + sha256 + per-field token lengths/norms
+        # (lengths via the JVM tokenizer expr — bit-identical to the pandas
+        # path, asserted in tests)
         sel = [F.col("doc_id")] + [F.col(c) for c in cfg.id_cols if c != "doc_id"]
         if cfg.content_col:
             sel.append(F.sha2(F.col(cfg.content_col).cast("string"), 256).alias("content_sha256"))
-        tok_cols = []
+        tok_cols = [(fc, None) for fc in cfg.text_fields]
         for fc in cfg.text_fields:
-            tcol = f"_toks_{fc.name}"
-            tok_cols.append((fc, tcol))
-            sel.append(self._tokens_expr(fc).alias(tcol))
+            sel.append(F.size(self._tokens_expr(fc)).alias(f"len_{fc.name}"))
         included = {"doc_id"} | {c for c in cfg.id_cols} | \
             ({"content_sha256"} if cfg.content_col else set())
         for fc in cfg.fields:
             if not fc.tokenized and fc.type != "string" and fc.name not in included:
                 sel.append(F.col(fc.name))
         docs = seg_df.select(*sel)
-        for fc, tcol in tok_cols:
-            docs = docs.withColumn(f"len_{fc.name}", F.size(F.col(tcol)))
+        for fc in cfg.text_fields:
             docs = docs.withColumn(f"norm_{fc.name}", norm_udf(F.col(f"len_{fc.name}")))
         docs = docs.persist()
 
-        # posting source rows: (doc_id, field, term, pos, norm_id)
+        # posting source rows (doc_id, field, term, tf, norm_id, pos_bin):
+        # tokenized fields aggregate per-doc inside ONE narrow mapInPandas
+        # pass (no explode shuffle); raw/string fields are a plain select.
         token_frames = []
-        for fc, tcol in tok_cols:
-            tf_ = (
-                docs.select(
-                    "doc_id",
-                    F.col(f"norm_{fc.name}").alias("norm_id"),
-                    F.explode(F.col(tcol)).alias("tk"),
-                )
-                .select(
-                    "doc_id", "norm_id",
-                    F.lit(fc.name).alias("field"),
-                    F.col("tk.term").alias("term"),
-                    F.col("tk.pos").alias("pos"),
-                )
-            )
-            token_frames.append((fc, tf_))
-
-        all_tokens = token_frames[0][1]
-        for _, tf_ in token_frames[1:]:
-            all_tokens = all_tokens.unionByName(tf_)
-
-        # per (doc, field, term): tf + sorted positions
-        per_doc_term = (
-            all_tokens.groupBy("doc_id", "field", "term")
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("tf"),
-                F.first("norm_id").alias("norm_id"),
-                F.sort_array(F.collect_list("pos")).alias("positions"),
-            )
-        )
+        for fc in cfg.fields:
+            if fc.type == "text":
+                fn = _tokenize_agg_fn(fc.name, fc.tokenizer, fc.token_limit)
+                token_frames.append(
+                    seg_df.select("doc_id", fc.name).mapInPandas(fn, _PDT_SCHEMA))
+            elif fc.type == "string":  # raw/keyword: whole value, tf=1, len=1
+                val = F.col(fc.name).cast("string")
+                token_frames.append(
+                    seg_df.filter(val.isNotNull() & (val != F.lit("")))
+                    .select("doc_id", F.lit(fc.name).alias("field"),
+                            val.alias("term"), F.lit(1).cast("long").alias("tf"),
+                            F.lit(1).cast("long").alias("norm_id"),
+                            F.lit(None).cast("binary").alias("pos_bin")))
+            elif fc.type == "json":  # dot-path flattened terms (Q11)
+                fn = _json_agg_fn(fc.name, fc.tokenizer, fc.token_limit)
+                token_frames.append(
+                    seg_df.select("doc_id", fc.name).mapInPandas(fn, _PDT_SCHEMA))
+        per_doc_term = token_frames[0]
+        for tf_ in token_frames[1:]:
+            per_doc_term = per_doc_term.unionByName(tf_)
         per_doc_term = per_doc_term.withColumn(
             "shard", F.shiftright(F.col("doc_id"), cfg.shard_bits).cast("long"))
         per_doc_term = per_doc_term.persist()
 
-        # positions table (position-indexed fields only)
+        # positions table (position-indexed fields only; delta-varint binary)
         pos_fields = [fc.name for fc in cfg.text_fields if fc.has_positions]
         if pos_fields:
             (per_doc_term
              .filter(F.col("field").isin(pos_fields))
-             .select("field", "term", "doc_id", "positions")
+             .select("field", "term", "doc_id", "pos_bin")
              .repartition("field", "term")
              .sortWithinPartitions("field", "term", "doc_id")
              .write.mode("overwrite").parquet(os.path.join(seg_dir, "positions")))
@@ -362,9 +529,8 @@ class IndexBuilder:
               F.sum("tf").cast("long").alias("total_tf"))
          .write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats")))
 
-        # docs table (drop token arrays)
-        doc_out = docs.drop(*[tcol for _, tcol in tok_cols])
-        doc_out.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+        # docs table
+        docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
 
         # one agg job for all per-segment stats
         stat_exprs = [F.count(F.lit(1)).alias("_n"),
@@ -441,6 +607,17 @@ class IndexBuilder:
                 "total_tokens": tot,
                 "avgdl": (float(tot) / num_docs) if num_docs else 0.0,
             }
+        # json fields have no docs-table length column: total tokens = sum of
+        # tf over the field's terms
+        for fc in cfg.fields:
+            if fc.type == "json":
+                row = (terms.filter(F.col("field") == fc.name)
+                       .agg(F.sum("total_tf").alias("s")).collect()[0])
+                tot = int(row["s"] or 0)
+                stats["fields"][fc.name] = {
+                    "num_docs": num_docs, "total_tokens": tot,
+                    "avgdl": (float(tot) / num_docs) if num_docs else 0.0,
+                }
 
         # final postings with block_max_score (global idf + avgdl).
         # ONE shuffle of the posting data, keyed (field, term, shard) so a
@@ -514,22 +691,41 @@ class IndexBuilder:
         else:
             seg_width = None
 
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        pending = [sid for sid in range(nseg) if sid not in done]
+        manifest_lock = threading.Lock()
         completed = 0
-        for sid in range(nseg):
-            if sid in done:
-                continue
+
+        def run_segment(sid: int) -> int:
             seg_df = with_ids
             if seg_width is not None:
                 seg_df = with_ids.filter(
                     (F.col("doc_id") >= sid * seg_width)
                     & (F.col("doc_id") < (sid + 1) * seg_width))
             action = self._build_segment(seg_df, sid)
-            self._append_manifest(action)
-            completed += 1
-            if fail_after_segments is not None and completed >= fail_after_segments:
-                with_ids.unpersist()
-                raise RuntimeError(
-                    f"injected failure after {completed} segments (kill test)")
+            with manifest_lock:
+                self._append_manifest(action)
+            return sid
+
+        if fail_after_segments is not None:
+            # kill-test mode: sequential, deterministic failure point
+            for sid in pending:
+                run_segment(sid)
+                completed += 1
+                if completed >= fail_after_segments:
+                    with_ids.unpersist()
+                    raise RuntimeError(
+                        f"injected failure after {completed} segments (kill test)")
+        elif pending:
+            workers = min(self.segment_concurrency, len(pending))
+            if workers == 1:
+                for sid in pending:
+                    run_segment(sid)
+            else:
+                with ThreadPoolExecutor(max_workers=workers) as ex:
+                    list(ex.map(run_segment, pending))
 
         merge_action = self._merge(list(range(nseg)))
         self._append_manifest(merge_action)

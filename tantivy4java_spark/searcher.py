@@ -89,6 +89,7 @@ class IndexSearcher:
         self.field_stats: Dict[str, dict] = self._stats["fields"]
         self._meta = self._load_metadata()
         self._df_cache: Dict[Tuple[str, str], int] = {}
+        self._frames: Dict[str, DataFrame] = {}
         self.last_metrics: Dict[str, float] = {}
 
     def _load_metadata(self) -> dict:
@@ -108,15 +109,45 @@ class IndexSearcher:
                 return f
         return {"name": name, "type": "text", "tokenizer": "default"}
 
-    # -- table access -------------------------------------------------------
+    def _json_base(self, dotted: str) -> Optional[Tuple[str, str]]:
+        """Resolve 'props.k.x' -> (json field 'props', path 'k.x') (Q11
+        dot-path addressing, query/Query.java:320-417)."""
+        for f in self._meta.get("fields", []):
+            if f.get("type") == "json":
+                base = f["name"]
+                if dotted == base:
+                    return base, ""
+                if dotted.startswith(base + "."):
+                    return base, dotted[len(base) + 1:]
+        return None
+
+    # -- table access (DataFrames memoized; underlying scans stay lazy) -----
+    def _table(self, name: str) -> DataFrame:
+        if name not in self._frames:
+            self._frames[name] = self.spark.read.parquet(
+                os.path.join(self.index_dir, name))
+        return self._frames[name]
+
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "postings"))
+        return self._table("postings")
 
     def terms(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "terms"))
+        return self._table("terms")
 
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(os.path.join(self.index_dir, "docs"))
+        base = self._table("docs")
+        d = self._deletes()
+        return base.join(d, "doc_id", "left_anti") if d is not None else base
+
+    def _deletes(self) -> Optional[DataFrame]:
+        """Tombstoned doc_ids (IndexWriter.deleteDocuments analog — S6;
+        reference deletes are tombstone-based until a merge applies them)."""
+        path = os.path.join(self.index_dir, "_deletes")
+        if not os.path.isdir(path) or not os.listdir(path):
+            return None
+        if "_deletes" not in self._frames:
+            self._frames["_deletes"] = self.spark.read.parquet(path)
+        return self._frames["_deletes"]
 
     def positions(self) -> DataFrame:
         dirs = self._stats.get("positions_dirs")
@@ -205,10 +236,14 @@ class IndexSearcher:
     def _empty_scored(self) -> DataFrame:
         return self.spark.createDataFrame([], _SCORED_SCHEMA)
 
+    def _apply_deletes(self, scored: DataFrame) -> DataFrame:
+        d = self._deletes()
+        return scored.join(d, "doc_id", "left_anti") if d is not None else scored
+
     # -- AST lowering: every node -> DataFrame(doc_id, score) -------------------
     def score_query(self, q: Q.Query) -> DataFrame:
         q = Q.normalize(q)
-        return self._score(q)
+        return self._apply_deletes(self._score(q))
 
     def _score(self, q: Q.Query) -> DataFrame:
         if isinstance(q, Q.Term):
@@ -228,6 +263,17 @@ class IndexSearcher:
         if isinstance(q, Q.Range):
             return self._score_range(q)
         if isinstance(q, Q.Exists):
+            jb = self._json_base(q.field)
+            if jb is not None:  # jsonExistsQuery: any term under the path
+                from tantivy4java_spark.build import JSON_PATH_SEP
+                base, path = jb
+                prefix = f"{path}{JSON_PATH_SEP}" if path else ""
+                decoded = (self.postings()
+                           .filter((F.col("field") == base)
+                                   & F.col("term").startswith(prefix))
+                           .mapInPandas(_decode_blocks, _DECODED_SCHEMA))
+                return (decoded.select("doc_id").distinct()
+                        .select("doc_id", F.lit(1.0).alias("score")))
             return (self.docs().filter(F.col(q.field).isNotNull())
                     .select("doc_id", F.lit(1.0).alias("score")))
         if isinstance(q, Q.Boost):
@@ -245,6 +291,19 @@ class IndexSearcher:
     # -- leaves -----------------------------------------------------------------
     def _score_term(self, q: Q.Term,
                     shards: Optional[Sequence[int]] = None) -> DataFrame:
+        jb = self._json_base(q.field)
+        if jb is not None:  # jsonTermQuery (Q11): term key = path\x00token
+            from tantivy4java_spark.build import JSON_PATH_SEP, json_query_token
+            base, path = jb
+            tok = json_query_token(q.value)
+            if not tok:
+                return self._empty_scored()
+            term = f"{path}{JSON_PATH_SEP}{tok}"
+            idf_map = self._idf_map([(base, term)])
+            if not idf_map:
+                return self._empty_scored()
+            decoded = self._decoded_postings([(base, term)], shards)
+            return self._score_decoded(decoded, idf_map).select("doc_id", "score")
         fm = self._field_meta(q.field)
         if fm.get("type") not in ("text", "string"):
             # numeric/date/bool term: fast-field equality, constant score
@@ -319,6 +378,30 @@ class IndexSearcher:
         return self._score_multi_term_union(pairs)
 
     def _score_range(self, q: Q.Range) -> DataFrame:
+        jb = self._json_base(q.field)
+        if jb is not None:  # jsonRangeQuery: numeric compare over path tokens
+            from tantivy4java_spark.build import JSON_PATH_SEP
+            base, path = jb
+            prefix = f"{path}{JSON_PATH_SEP}"
+            cand = (self.terms()
+                    .filter((F.col("field") == base)
+                            & F.col("term").startswith(prefix))
+                    .withColumn("_v", F.expr(
+                        f"try_cast(substring(term, {len(prefix) + 1}) as double)"))
+                    .filter(F.col("_v").isNotNull()))
+            cond = F.lit(True)
+            if q.lower is not None:
+                lv = F.lit(float(q.lower))
+                cond = cond & (F.col("_v") >= lv if q.include_lower else F.col("_v") > lv)
+            if q.upper is not None:
+                uv = F.lit(float(q.upper))
+                cond = cond & (F.col("_v") <= uv if q.include_upper else F.col("_v") < uv)
+            matched = [r["term"] for r in cand.filter(cond).select("term").collect()]
+            if not matched:
+                return self._empty_scored()
+            decoded = self._decoded_postings([(base, t) for t in matched])
+            return (decoded.select("doc_id").distinct()
+                    .select("doc_id", F.lit(1.0).alias("score")))
         fm = self._field_meta(q.field)
         docs = self.docs()
         if q.field not in docs.columns:
@@ -347,7 +430,7 @@ class IndexSearcher:
         # one row per doc having ALL the phrase terms, positions per slot
         per_doc = (pos.groupBy("doc_id")
                    .agg(F.map_from_entries(
-                        F.collect_list(F.struct("term", "positions"))).alias("pmap"),
+                        F.collect_list(F.struct("term", "pos_bin"))).alias("pmap"),
                         F.count(F.lit(1)).alias("nterms"))
                    .filter(F.col("nterms") == len(uniq)))
         arrays = F.array(*[F.element_at(F.col("pmap"), F.lit(w)) for w in words])
@@ -355,7 +438,8 @@ class IndexSearcher:
 
         @F.pandas_udf(T.LongType())
         def phrase_tf(arrs: pd.Series) -> pd.Series:
-            return arrs.map(lambda a: _phrase_freq([np.asarray(x) for x in a], slop))
+            return arrs.map(lambda a: _phrase_freq(
+                [codec.decode_positions(x) for x in a], slop))
 
         matched = (per_doc.select("doc_id", phrase_tf(arrays).alias("tf"))
                    .filter(F.col("tf") > 0))
@@ -507,6 +591,8 @@ class IndexSearcher:
     def _pure_term_clauses(self, q: Q.Query) -> Optional[Tuple[str, List[Tuple[str, str]]]]:
         """Detect Term / pure-term Boolean shapes eligible for WAND pruning."""
         if isinstance(q, Q.Term):
+            if self._json_base(q.field) is not None:
+                return None  # json terms take the full scoring path
             fm = self._field_meta(q.field)
             if fm.get("type") in ("text", "string"):
                 t = self.query_term(q.field, q.value)
@@ -520,6 +606,8 @@ class IndexSearcher:
                 return None
             pairs = []
             for c in kids:
+                if self._json_base(c.field) is not None:
+                    return None
                 fm = self._field_meta(c.field)
                 if fm.get("type") not in ("text", "string"):
                     return None
@@ -533,16 +621,75 @@ class IndexSearcher:
                 return ("or", pairs)
         return None
 
-    def search(self, q: Q.Query, limit: int = 10, prune: bool = True) -> DataFrame:
-        """Top-k (score desc, doc_id asc) as a DataFrame(doc_id, score)."""
+    def search(self, q: Q.Query, limit: int = 10, prune: bool = True,
+               order_by_field: Optional[str] = None, ascending: bool = False,
+               offset: int = 0) -> DataFrame:
+        """Top-k as a DataFrame(doc_id, score).
+
+        Default order: score desc, doc_id asc (tantivy tie semantics).
+        order_by_field / offset implement the Searcher.search orderByField /
+        offset params the reference EXPOSES but its native side ignores
+        (core/Searcher.java:59 vs jni_searcher.rs:67-70) — parity-plus.
+        """
         q = Q.normalize(q)
         self.last_metrics = {}
         shape = self._pure_term_clauses(q) if prune else None
         if shape is not None:
-            scored = self._scored_pruned(shape[0], shape[1], limit)
+            scored = self._scored_pruned(shape[0], shape[1],
+                                         limit + offset)
         else:
             scored = self._score(q)
-        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(limit)
+        scored = self._apply_deletes(scored)
+        if order_by_field:
+            field_col = self.docs().select("doc_id", order_by_field)
+            scored = scored.join(field_col, "doc_id")
+            order = [F.asc(order_by_field) if ascending
+                     else F.desc(order_by_field), F.asc("doc_id")]
+        else:
+            order = [F.desc("score"), F.asc("doc_id")]
+        out = scored.orderBy(*order)
+        if offset:
+            out = out.offset(offset)
+        return out.limit(limit)
+
+    def explain(self, q: Q.Query, doc_id: int) -> DataFrame:
+        """Per-term score components for one doc (Query.explain analog, Q15 —
+        the reference's native impl is a stub; ours emits real components)."""
+        q = Q.normalize(q)
+        terms: List[Tuple[str, str]] = []
+
+        def walk(node):
+            if isinstance(node, Q.Term):
+                t = self.query_term(node.field, node.value)
+                if t is not None:
+                    terms.append((node.field, t))
+            elif isinstance(node, Q.Boolean):
+                for c in list(node.must) + list(node.should):
+                    walk(c)
+            elif isinstance(node, (Q.Boost, Q.ConstScore)):
+                walk(node.child)
+            elif isinstance(node, Q.DisMax):
+                for c in node.queries:
+                    walk(c)
+
+        walk(q)
+        if not terms:
+            raise ValueError("explain supports term-based queries")
+        idf_map = self._idf_map(terms)
+        shard = doc_id >> self._meta.get("shard_bits", 16)
+        decoded = self._decoded_postings(list(idf_map), shards=[shard]) \
+            .filter(F.col("doc_id") == doc_id)
+        scored = self._score_decoded(decoded, idf_map)
+        dfs = self.term_dfs(list(idf_map))
+        df_map = F.create_map(*[x for (fld, trm), d in dfs.items()
+                                for x in (F.lit(fld + "\x00" + trm), F.lit(d))])
+        key = F.concat_ws("\x00", F.col("field"), F.col("term"))
+        return scored.select(
+            "field", "term", "doc_id", "tf", "norm_id",
+            _fieldnorm_len_col(F.col("norm_id")).alias("quantized_len"),
+            F.element_at(df_map, key).alias("df"),
+            F.lit(float(self.num_docs)).alias("num_docs"),
+            F.col("score"))
 
     def _scored_pruned(self, mode: str, pairs: List[Tuple[str, str]],
                        k: int) -> DataFrame:

@@ -1,0 +1,98 @@
+"""Incremental indexing via Structured Streaming.
+
+Reference analog (SURVEY.md §2.1 S16, §2.5): the txlog's versioned Add
+actions give incremental micro-batch append semantics; `getChangesSince`
+reads deltas.  Spark-first translation: a streaming source ->
+``foreachBatch`` -> one immutable index segment per micro-batch + a manifest
+Add line; a ``refresh()`` (= commit/merge) folds all segments into the
+queryable global index.  Exactly-once per batch comes from the streaming
+checkpoint (batch id replays are idempotent: segment dirs are keyed by batch
+id and overwritten atomically).
+
+Doc ids are ``(segment_id << SEG_SHIFT) | row_in_batch`` — disjoint,
+monotone per segment, so merge stays a concatenation (DocAddress analog,
+SURVEY.md §1.1).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Iterator, Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from tantivy4java_spark.build import IndexBuilder
+from tantivy4java_spark.schema import IndexConfig
+
+SEG_SHIFT = 40  # up to 2^40 docs per micro-batch segment
+
+
+class StreamingIndexWriter:
+    """foreachBatch sink: every micro-batch becomes one index segment."""
+
+    def __init__(self, spark: SparkSession, config: IndexConfig,
+                 index_dir: str, seg_id_base: int = 0):
+        self.spark = spark
+        self.config = config
+        self.index_dir = index_dir
+        self.seg_id_base = seg_id_base
+        self.builder = IndexBuilder(spark, config, index_dir)
+
+    # -- batch hook ---------------------------------------------------------
+    def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        seg_id = self.seg_id_base + int(batch_id)
+        done = {a["segment"] for a in self.builder._manifest_actions()
+                if a["action"] == "add"}
+        if seg_id in done:  # replay after checkpoint recovery: already durable
+            return
+        if not self.builder._manifest_actions():
+            self.builder._append_manifest(
+                {"action": "protocol", "version": 1,
+                 "engine": "tantivy4java_spark", "mode": "streaming"})
+        base = seg_id << SEG_SHIFT
+        schema = T.StructType(batch_df.schema.fields
+                              + [T.StructField("doc_id", T.LongType())])
+
+        def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            from pyspark import TaskContext
+            pid = TaskContext.get().partitionId()
+            seen = 0
+            for pdf in it:
+                pdf = pdf.copy()
+                # partition-disjoint id space inside the segment
+                pdf["doc_id"] = (base + (pid << 24)
+                                 + np.arange(seen, seen + len(pdf), dtype=np.int64))
+                seen += len(pdf)
+                yield pdf
+
+        with_ids = batch_df.mapInPandas(add_ids, schema)
+        action = self.builder._build_segment(with_ids, seg_id)
+        action["streaming_batch_id"] = int(batch_id)
+        self.builder._append_manifest(action)
+
+    # -- lifecycle ----------------------------------------------------------
+    def start(self, stream_df: DataFrame, checkpoint_dir: str,
+              trigger_available_now: bool = True, **trigger_kw):
+        writer = (stream_df.writeStream
+                  .foreachBatch(self.process_batch)
+                  .option("checkpointLocation", checkpoint_dir))
+        if trigger_available_now and not trigger_kw:
+            writer = writer.trigger(availableNow=True)
+        elif trigger_kw:
+            writer = writer.trigger(**trigger_kw)
+        return writer.start()
+
+    def refresh(self) -> dict:
+        """Commit: merge all streamed segments into the queryable index
+        (reload-to-see-commits semantics, native/src/index.rs:289)."""
+        segs = sorted({a["segment"] for a in self.builder._manifest_actions()
+                       if a["action"] == "add"})
+        action = self.builder._merge(segs)
+        self.builder._append_manifest(action)
+        return action
