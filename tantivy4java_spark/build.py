@@ -467,7 +467,12 @@ class IndexBuilder:
         included = {"doc_id"} | {c for c in cfg.id_cols} | \
             ({"content_sha256"} if cfg.content_col else set())
         for fc in cfg.fields:
-            if not fc.tokenized and fc.type != "string" and fc.name not in included:
+            if fc.type == "ip":  # numeric fast column for CIDR/range rewrites
+                from tantivy4java_spark.iptypes import ip_num_col
+                sel.append(ip_num_col(F.col(fc.name).cast("string"))
+                           .alias(f"_ipnum_{fc.name}"))
+            elif (not fc.tokenized and fc.type not in ("string", "json")
+                    and fc.name not in included):
                 sel.append(F.col(fc.name))
         docs = seg_df.select(*sel)
         for fc in cfg.text_fields:
@@ -495,6 +500,14 @@ class IndexBuilder:
                 fn = _json_agg_fn(fc.name, fc.tokenizer, fc.token_limit)
                 token_frames.append(
                     seg_df.select("doc_id", fc.name).mapInPandas(fn, _PDT_SCHEMA))
+            elif fc.type == "ip":  # exact term + numeric fast column (§1.2)
+                val = F.col(fc.name).cast("string")
+                token_frames.append(
+                    seg_df.filter(val.isNotNull() & (val != F.lit("")))
+                    .select("doc_id", F.lit(fc.name).alias("field"),
+                            val.alias("term"), F.lit(1).cast("long").alias("tf"),
+                            F.lit(1).cast("long").alias("norm_id"),
+                            F.lit(None).cast("binary").alias("pos_bin")))
         per_doc_term = token_frames[0]
         for tf_ in token_frames[1:]:
             per_doc_term = per_doc_term.unionByName(tf_)

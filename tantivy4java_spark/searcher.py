@@ -305,6 +305,14 @@ class IndexSearcher:
             decoded = self._decoded_postings([(base, term)], shards)
             return self._score_decoded(decoded, idf_map).select("doc_id", "score")
         fm = self._field_meta(q.field)
+        if fm.get("type") == "ip":
+            # CIDR / wildcard / exact IP -> numeric range rewrite (§4 O5,
+            # native/src/split_query/parse_query.rs:59-104)
+            from tantivy4java_spark.iptypes import rewrite_ip_query
+            rewritten = rewrite_ip_query(q.field, str(q.value))
+            if rewritten is None:
+                return self._empty_scored()
+            return self._score_range(rewritten)
         if fm.get("type") not in ("text", "string"):
             # numeric/date/bool term: fast-field equality, constant score
             # (range-family semantics; tantivy numeric terms are rarely

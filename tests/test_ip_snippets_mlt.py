@@ -1,0 +1,92 @@
+"""IP fields + CIDR rewrites (§1.2/O5), snippets (Q18), MoreLikeThis (Q14)."""
+
+import pytest
+
+from tantivy4java_spark import queries as Q
+from tantivy4java_spark.build import build_index
+from tantivy4java_spark.corpus import generate_pandas
+from tantivy4java_spark.iptypes import (cidr_to_range, ip_to_int,
+                                        rewrite_ip_query, wildcard_to_range)
+from tantivy4java_spark.schema import FieldConfig, IndexConfig
+from tantivy4java_spark.searcher import IndexSearcher
+from tantivy4java_spark.snippets import make_snippet, query_terms, snippet_df
+
+
+def test_ip_conversions():
+    assert ip_to_int("0.0.0.1") == 1
+    assert ip_to_int("10.0.0.0") == 10 * 2**24
+    assert ip_to_int("::ffff:192.168.1.1") == ip_to_int("192.168.1.1")
+    assert cidr_to_range("10.0.0.0/8") == (10 * 2**24, 11 * 2**24 - 1)
+    assert wildcard_to_range("192.168.*.*") == \
+        (ip_to_int("192.168.0.0"), ip_to_int("192.168.255.255"))
+    with pytest.raises(ValueError):
+        wildcard_to_range("192.*.1.1")  # non-contiguous (parse_query.rs:88-97)
+
+
+def test_rewrite_shapes():
+    r = rewrite_ip_query("ip", "10.0.0.0/8")
+    assert isinstance(r, Q.Range) and r.field == "_ipnum_ip"
+    assert rewrite_ip_query("ip", "not-an-ip") is None
+
+
+@pytest.fixture(scope="module")
+def ip_searcher(spark, tmp_path_factory):
+    rows = [(i, f"10.{i % 4}.0.{i % 250}", f"host{i}") for i in range(80)]
+    df = spark.createDataFrame(rows, ["doc_id", "client_ip", "host"])
+    cfg = IndexConfig(fields=[FieldConfig("client_ip", "ip"),
+                              FieldConfig("host", "string")],
+                      id_cols=["doc_id", "host"])
+    idx = str(tmp_path_factory.mktemp("ip_idx"))
+    build_index(spark, df, cfg, idx, doc_id_col="doc_id")
+    return IndexSearcher(spark, idx)
+
+
+def test_ip_exact(ip_searcher):
+    hits = ip_searcher.score_query(Q.Term("client_ip", "10.1.0.1")).collect()
+    assert sorted(r["doc_id"] for r in hits) == [1]
+
+
+def test_ip_cidr(ip_searcher):
+    hits = ip_searcher.score_query(Q.Term("client_ip", "10.2.0.0/16")).collect()
+    assert sorted(r["doc_id"] for r in hits) == [i for i in range(80) if i % 4 == 2]
+
+
+def test_ip_wildcard(ip_searcher):
+    hits = ip_searcher.score_query(Q.Term("client_ip", "10.3.*.*")).collect()
+    assert sorted(r["doc_id"] for r in hits) == [i for i in range(80) if i % 4 == 3]
+
+
+def test_snippet_basic():
+    text = "the quick brown fox jumps over the lazy dog near the river bank"
+    frag, html = make_snippet(text, ["fox", "dog"], max_num_chars=60)
+    assert "fox" in frag
+    assert "<b>fox</b>" in html and "<b>dog</b>" in html
+
+
+def test_query_terms_collection():
+    q = Q.Boolean(must=[Q.Term("content", "Fox"),
+                        Q.Phrase("content", ["lazy", "dog"])],
+                  should=[Q.Term("other", "cat")])
+    assert query_terms(q, "content") == ["dog", "fox", "lazy"]
+
+
+def test_snippet_df_and_mlt(spark, tmp_path):
+    pdf = generate_pandas(0, 100, min_tokens=20, max_tokens=60)
+    pdf["doc_id"] = range(100)
+    cfg = IndexConfig(fields=[FieldConfig("content", "text")],
+                      id_cols=["doc_id"], content_col="content")
+    idx = str(tmp_path / "snipidx")
+    build_index(spark, spark.createDataFrame(pdf), cfg, idx, doc_id_col="doc_id")
+    s = IndexSearcher(spark, idx)
+    q = Q.Term("content", "import")
+    hits = s.search(q, limit=5)
+    out = snippet_df(hits, spark.createDataFrame(pdf), q, "content").collect()
+    assert len(out) == 5
+    assert all("<b>" in r["html"] for r in out)
+
+    # MoreLikeThis: expanded query must rank the source doc first
+    seed_doc = int(hits.collect()[0]["doc_id"])
+    mlt = Q.MoreLikeThis(doc_id=seed_doc, field="content",
+                         min_doc_freq=2, min_term_freq=1, max_query_terms=10)
+    top = s.search(mlt, limit=3).collect()
+    assert top and top[0]["doc_id"] == seed_doc
