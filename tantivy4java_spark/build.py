@@ -351,6 +351,33 @@ def _encode_blocks_fn(block_size: int, with_scores: bool,
     return encode
 
 
+def _reblock_fn(block_size: int):
+    """Intermediate-level merge: decode + concat + re-block postings without
+    scoring (global idf/avgdl are only known at the final level)."""
+
+    def merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if len(pdf) == 0:
+                continue
+            counts = pdf["count"].to_numpy(dtype=np.int64)
+            vals = codec.decode_blocks_concat(
+                pdf["first_doc"].to_numpy(dtype=np.int64), counts,
+                list(pdf["docs_bin"]), list(pdf["tfs_bin"]),
+                list(pdf["norms_bin"]))
+            bov = vals["block_of_value"]
+            vpdf = pd.DataFrame({
+                "field": pdf["field"].to_numpy()[bov],
+                "term": pdf["term"].to_numpy()[bov],
+                "shard": pdf["shard"].to_numpy()[bov],
+            })
+            blocks = codec.encode_blocks_segmented(
+                _group_change(vpdf), vals["doc_id"], vals["tf"],
+                vals["norm_id"], block_size, None)
+            yield _blocks_frame(vpdf, blocks)
+
+    return merge
+
+
 def _decode_reencode_fn(block_size: int, norm_decode, avgdl_map,
                         num_docs: int):
     """Merge-phase mapInPandas: decode segment blocks per (field,term,shard)
@@ -568,27 +595,95 @@ class IndexBuilder:
         }
 
     # -- merge / finalize ---------------------------------------------------
+    def _segment_ok(self, seg_dir: str) -> bool:
+        """Cheap validity probe (footer read) — no Spark job per segment."""
+        import pyarrow.parquet as pq
+        pdir = os.path.join(seg_dir, "postings")
+        try:
+            files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
+            for f in files:
+                pq.ParquetFile(os.path.join(pdir, f)).schema_arrow
+            return True
+        except Exception:
+            return False
+
+    def _merge_intermediate(self, seg_dirs: List[str], out_dir: str) -> None:
+        """One hierarchical-merge level (S9 analog): concat+re-block postings
+        per (field,term,shard) WITHOUT global scoring (that happens only at
+        the final level), fold termstats, union docs/positions."""
+        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
+        posts = self.spark.read.parquet(*[os.path.join(d, "postings") for d in seg_dirs])
+        merge_fn = _reblock_fn(self.config.block_size)
+        (posts.repartition(nparts, "field", "term", "shard")
+         .sortWithinPartitions("field", "term", "shard", "first_doc")
+         .mapInPandas(merge_fn, _POSTINGS_SCHEMA)
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "postings")))
+        ts = self.spark.read.parquet(*[os.path.join(d, "termstats") for d in seg_dirs])
+        (ts.groupBy("field", "term")
+         .agg(F.sum("df").cast("long").alias("df"),
+              F.sum("total_tf").cast("long").alias("total_tf"))
+         .write.mode("overwrite").parquet(os.path.join(out_dir, "termstats")))
+        docs = self.spark.read.parquet(*[os.path.join(d, "docs") for d in seg_dirs])
+        docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
+        pos_dirs = [os.path.join(d, "positions") for d in seg_dirs
+                    if os.path.exists(os.path.join(d, "positions"))]
+        if pos_dirs:
+            (self.spark.read.parquet(*pos_dirs)
+             .repartition(max(1, nparts // 2), "field", "term")
+             .sortWithinPartitions("field", "term", "doc_id")
+             .write.mode("overwrite").parquet(os.path.join(out_dir, "positions")))
+
+    def merge_hierarchical(self, segment_ids: List[int], fanin: int = 8) -> dict:
+        """Multi-level merge: fold segments `fanin` at a time into
+        intermediate segments, repeat, finish with the global _merge.
+        At 10^12-file scale this bounds every merge job's input count
+        (reference: process-based parallel merge, CLAUDE.md:163; split merge
+        README.md:712-800)."""
+        level = 0
+        dirs = [self._p("segments", f"seg={s:05d}") for s in segment_ids]
+        dirs = [d for d in dirs if self._segment_ok(d)]
+        while len(dirs) > fanin:
+            next_dirs = []
+            for i in range(0, len(dirs), fanin):
+                group = dirs[i:i + fanin]
+                if len(group) == 1:
+                    next_dirs.append(group[0])
+                    continue
+                out = self._p("segments", f"merged_L{level}_{i // fanin:04d}")
+                self._merge_intermediate(group, out)
+                self._append_manifest({"action": "merge_level", "level": level,
+                                       "inputs": len(group), "out": out})
+                next_dirs.append(out)
+            dirs = next_dirs
+            level += 1
+        return self._merge_dirs(dirs)
+
     def _merge(self, segment_ids: List[int]) -> dict:
         """Merge all segment outputs into the global index (S7/S9 analog).
 
         Resilient like the reference's mergeSplits (merge_impl.rs:88-101):
-        a segment directory that fails to read is skipped and recorded as a
-        merge_skip manifest action.
+        a segment directory that fails validation is skipped and recorded as
+        a merge_skip manifest action.
         """
-        t0 = time.time()
-        cfg = self.config
-        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
         ok_segments, skipped = [], []
         for sid in segment_ids:
             seg_dir = self._p("segments", f"seg={sid:05d}")
-            try:
-                self.spark.read.parquet(os.path.join(seg_dir, "postings")).limit(1).collect()
+            if self._segment_ok(seg_dir):
                 ok_segments.append(sid)
-            except Exception as e:  # corrupted / missing segment
+            else:
                 skipped.append(sid)
                 self._append_manifest({"action": "merge_skip", "segment": sid,
-                                       "reason": str(e)[:200]})
+                                       "reason": "failed footer validation"})
         seg_dirs = [self._p("segments", f"seg={s:05d}") for s in ok_segments]
+        action = self._merge_dirs(seg_dirs)
+        action["segments"] = ok_segments
+        action["skipped"] = skipped
+        return action
+
+    def _merge_dirs(self, seg_dirs: List[str]) -> dict:
+        t0 = time.time()
+        cfg = self.config
+        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
 
         # global term stats
         termstats = self.spark.read.parquet(*[os.path.join(d, "termstats") for d in seg_dirs])
@@ -660,15 +755,15 @@ class IndexBuilder:
         # positions stay in their segment directories (already clustered by
         # (field, term, doc_id)); the searcher reads the dir list from stats —
         # no merge-time rewrite of the largest table.
-        pos_dirs = [os.path.join("segments", f"seg={s:05d}", "positions")
-                    for s in ok_segments
-                    if os.path.exists(self._p("segments", f"seg={s:05d}", "positions"))]
+        pos_dirs = [os.path.relpath(os.path.join(d, "positions"), self.index_dir)
+                    for d in seg_dirs
+                    if os.path.exists(os.path.join(d, "positions"))]
         stats["positions_dirs"] = pos_dirs
 
         with open(self._p("stats.json"), "w") as fh:
             json.dump(stats, fh, indent=2, sort_keys=True)
         terms.unpersist()
-        return {"action": "commit", "segments": ok_segments, "skipped": skipped,
+        return {"action": "commit",
                 "num_docs": int(num_docs), "wall_sec": round(time.time() - t0, 3)}
 
     # -- public API ---------------------------------------------------------

@@ -169,15 +169,37 @@ class IndexSearcher:
             self._df_cache[key] = int(rows[0]["df"]) if rows else 0
         return self._df_cache[key]
 
+    def _local_meta(self, table: str, filters, columns) -> Optional[pd.DataFrame]:
+        """Driver-side metadata read via pyarrow when the index is on a
+        local/posix path — row-group pruned, no Spark job (the L1-cache
+        analog of the reference's metadata lookups).  Returns None when not
+        applicable; callers fall back to a Spark job."""
+        path = os.path.join(self.index_dir, table)
+        if not os.path.isdir(path):
+            return None
+        try:
+            import pyarrow.parquet as pq
+            return pq.read_table(path, filters=filters,
+                                 columns=columns).to_pandas()
+        except Exception:
+            return None
+
     def term_dfs(self, pairs: Sequence[Tuple[str, str]]) -> Dict[Tuple[str, str], int]:
         missing = [p for p in pairs if p not in self._df_cache]
         if missing:
             fields = sorted({f for f, _ in missing})
             terms = sorted({t for _, t in missing})
-            rows = (self.terms()
-                    .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
-                    .select("field", "term", "df").collect())
-            found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
+            local = self._local_meta(
+                "terms", [("field", "in", fields), ("term", "in", terms)],
+                ["field", "term", "df"])
+            if local is not None:
+                found = {(f, t): int(d) for f, t, d in
+                         zip(local["field"], local["term"], local["df"])}
+            else:
+                rows = (self.terms()
+                        .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
+                        .select("field", "term", "df").collect())
+                found = {(r["field"], r["term"]): int(r["df"]) for r in rows}
             for p in missing:
                 self._df_cache[p] = found.get(p, 0)
         return {p: self._df_cache[p] for p in pairs}
@@ -707,14 +729,24 @@ class IndexSearcher:
         pairs = list(idf_map.keys())
         fields = sorted({f for f, _ in pairs})
         terms = sorted({t for _, t in pairs})
-        meta_rows = (self.postings()
-                     .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
-                     .groupBy("field", "term", "shard")
-                     .agg(F.sum("count").alias("cnt"),
-                          F.max("block_max_score").alias("bmax"))
-                     .collect())
-        meta = [(r["field"], r["term"], int(r["shard"]), int(r["cnt"]), float(r["bmax"]))
-                for r in meta_rows if (r["field"], r["term"]) in idf_map]
+        local = self._local_meta(
+            "postings", [("field", "in", fields), ("term", "in", terms)],
+            ["field", "term", "shard", "count", "block_max_score"])
+        if local is not None:
+            agg = (local.groupby(["field", "term", "shard"], as_index=False)
+                   .agg(cnt=("count", "sum"), bmax=("block_max_score", "max")))
+            meta_rows = list(agg.itertuples(index=False))
+            meta = [(r.field, r.term, int(r.shard), int(r.cnt), float(r.bmax))
+                    for r in meta_rows if (r.field, r.term) in idf_map]
+        else:
+            meta_rows = (self.postings()
+                         .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
+                         .groupBy("field", "term", "shard")
+                         .agg(F.sum("count").alias("cnt"),
+                              F.max("block_max_score").alias("bmax"))
+                         .collect())
+            meta = [(r["field"], r["term"], int(r["shard"]), int(r["cnt"]), float(r["bmax"]))
+                    for r in meta_rows if (r["field"], r["term"]) in idf_map]
         shards: Dict[int, dict] = {}
         for fld, trm, sh, cnt, bmax in meta:
             s = shards.setdefault(sh, {"bound": 0.0, "cnt": 0, "terms": set()})
