@@ -800,6 +800,24 @@ class IndexSearcher:
         sel = source.select(on, *cols)
         return hits.join(F.broadcast(sel), on, "left")
 
+    def count(self, q: Q.Query) -> int:
+        """Hit count without materializing scores order (bulk count path —
+        the reference's 45ms unscored search analog)."""
+        return self.score_query(q).count()
+
+    # -- prewarm (§2.6: preloadComponents/preloadFields analog) -----------------
+    def preload(self, components: Sequence[str] = ("terms", "postings")) -> None:
+        """Pin index tables in executor memory (Spark block-manager cache —
+        replaces the reference's L1/L2 cache machinery,
+        split/SplitSearcher.java:1129-1196)."""
+        for name in components:
+            df = self._table(name).cache()
+            df.count()  # materialize
+
+    def warmup_query(self, q: Q.Query) -> None:
+        """warmupQuery analog (split/SplitSearcher.java:1306)."""
+        self.search(q, limit=1).collect()
+
 
 def _edit_distance(a: str, b: str, cap: int, osa: bool) -> int:
     """Levenshtein / OSA (transposition cost 1) with early cutoff."""
