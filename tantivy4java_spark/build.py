@@ -54,7 +54,7 @@ from tantivy4java_spark import codec
 from tantivy4java_spark.analysis import sql_tokenize_expr, tokenize_udf
 from tantivy4java_spark.fieldnorm import fieldnorm_to_id
 from tantivy4java_spark.schema import FieldConfig, IndexConfig
-from tantivy4java_spark.scoring import B, K1, idf_weight
+from tantivy4java_spark.scoring import B, K1
 
 _POSTINGS_SCHEMA = T.StructType([
     T.StructField("field", T.StringType()),

@@ -16,7 +16,6 @@ from __future__ import annotations
 import json
 import os
 import time
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -62,8 +61,7 @@ def apply_deletes(spark: SparkSession, index_dir: str) -> int:
     docs + postings without them, refresh stats, clear ``_deletes``."""
     import shutil
 
-    from tantivy4java_spark.build import (_POSTINGS_SCHEMA,
-                                          _decode_reencode_fn)
+    from tantivy4java_spark.build import _POSTINGS_SCHEMA
     from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
     from tantivy4java_spark.scoring import K1
     from tantivy4java_spark.searcher import IndexSearcher, _DECODED_SCHEMA, _decode_blocks

@@ -10,7 +10,6 @@ state), per the task brief's Structured Streaming requirements.
 
 from __future__ import annotations
 
-import hashlib
 from typing import Iterator, Tuple
 
 import pandas as pd

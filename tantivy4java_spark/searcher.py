@@ -22,7 +22,6 @@ Ties broken by ascending doc_id (tantivy breaks ties by DocAddress order).
 from __future__ import annotations
 
 import json
-import math
 import os
 from functools import reduce
 from typing import Dict, Iterator, List, Optional, Sequence, Tuple

@@ -16,9 +16,7 @@ SURVEY.md §1.1).
 
 from __future__ import annotations
 
-import json
-import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
