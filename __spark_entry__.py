@@ -45,7 +45,9 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = os.path.abspath(sf_dir)
     if key in _SEARCHERS:
         return _SEARCHERS[key]
-    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    import tantivy4java_spark
+    tag = hashlib.md5(
+        f"{key}:{tantivy4java_spark.__version__}:2".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_docs_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -60,7 +62,9 @@ def _events_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = "events:" + os.path.abspath(sf_dir)
     if key in _SEARCHERS:
         return _SEARCHERS[key]
-    tag = hashlib.md5(key.encode()).hexdigest()[:10]
+    import tantivy4java_spark
+    tag = hashlib.md5(
+        f"{key}:{tantivy4java_spark.__version__}:2".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_events_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))

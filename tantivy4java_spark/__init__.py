@@ -22,7 +22,7 @@ from tantivy4java_spark.schema import FieldConfig, IndexConfig
 from tantivy4java_spark.build import IndexBuilder, build_index
 from tantivy4java_spark.searcher import IndexSearcher
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"  # 0.2: positions rows carry norm_id
 
 __all__ = [
     "FieldConfig",

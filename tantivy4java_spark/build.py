@@ -547,7 +547,7 @@ class IndexBuilder:
         if pos_fields:
             (per_doc_term
              .filter(F.col("field").isin(pos_fields))
-             .select("field", "term", "doc_id", "pos_bin")
+             .select("field", "term", "doc_id", "norm_id", "pos_bin")
              .repartition("field", "term")
              .sortWithinPartitions("field", "term", "doc_id")
              .write.mode("overwrite").parquet(os.path.join(seg_dir, "positions")))

@@ -454,12 +454,14 @@ class IndexSearcher:
         dfs = self.term_dfs([(q.field, w) for w in uniq])
         if any(dfs[(q.field, w)] == 0 for w in uniq):
             return self._empty_scored()
+        # ONE scan of the positions table for all phrase terms; positions
+        # rows carry norm_id so no doc-store join is needed
         pos = (self.positions()
                .filter((F.col("field") == q.field) & F.col("term").isin(uniq)))
-        # one row per doc having ALL the phrase terms, positions per slot
         per_doc = (pos.groupBy("doc_id")
                    .agg(F.map_from_entries(
                         F.collect_list(F.struct("term", "pos_bin"))).alias("pmap"),
+                        F.first("norm_id").alias("norm_id"),
                         F.count(F.lit(1)).alias("nterms"))
                    .filter(F.col("nterms") == len(uniq)))
         arrays = F.array(*[F.element_at(F.col("pmap"), F.lit(w)) for w in words])
@@ -470,18 +472,17 @@ class IndexSearcher:
             return arrs.map(lambda a: _phrase_freq(
                 [codec.decode_positions(x) for x in a], slop))
 
-        matched = (per_doc.select("doc_id", phrase_tf(arrays).alias("tf"))
+        matched = (per_doc.select("doc_id", "norm_id",
+                                  phrase_tf(arrays).alias("tf"))
                    .filter(F.col("tf") > 0))
         # combined idf over phrase terms as given (Lucene/tantivy: sum of idf)
         idf_w = sum(idf_weight(dfs[(q.field, w)], self.num_docs) for w in words)
         avgdl = self.avgdl(q.field)
-        norm_col = f"norm_{q.field}"
-        with_norm = matched.join(self.docs().select("doc_id", norm_col), "doc_id")
-        length = _fieldnorm_len_col(F.col(norm_col))
+        length = _fieldnorm_len_col(F.col("norm_id"))
         tf = F.col("tf").cast("double")
         score = (F.lit(idf_w) * tf
                  / (tf + F.lit(K1) * (F.lit(1.0 - B) + F.lit(B) * length / F.lit(avgdl))))
-        return with_norm.select("doc_id", score.alias("score"))
+        return matched.select("doc_id", score.alias("score"))
 
     # -- boolean -----------------------------------------------------------------
     def _docids(self, q: Q.Query) -> DataFrame:
