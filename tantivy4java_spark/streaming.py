@@ -31,6 +31,51 @@ from tantivy4java_spark.schema import IndexConfig
 SEG_SHIFT = 40  # up to 2^40 docs per micro-batch segment
 
 
+def append_segment(builder: IndexBuilder, batch_df: DataFrame,
+                   seg_id: int) -> dict:
+    """Index `batch_df` as one new segment with ids in the segment's own
+    (seg_id << SEG_SHIFT) space; returns the manifest Add action.  Shared by
+    the streaming sink and the batch `add_documents` path (S2/S3 analog:
+    IndexWriter.addDocument/addJson — incremental inserts become segments)."""
+    base = seg_id << SEG_SHIFT
+    schema = T.StructType(batch_df.schema.fields
+                          + [T.StructField("doc_id", T.LongType())])
+
+    def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+        pid = TaskContext.get().partitionId()
+        seen = 0
+        for pdf in it:
+            pdf = pdf.copy()
+            pdf["doc_id"] = (base + (pid << 24)
+                             + np.arange(seen, seen + len(pdf), dtype=np.int64))
+            seen += len(pdf)
+            yield pdf
+
+    with_ids = batch_df.mapInPandas(add_ids, schema)
+    return builder._build_segment(with_ids, seg_id)
+
+
+def add_documents(spark: SparkSession, config: IndexConfig, index_dir: str,
+                  df: DataFrame, commit: bool = True) -> dict:
+    """Append documents to an existing index and (optionally) re-commit.
+
+    IndexWriter.addDocument / addJson analog for bulk appends: the rows
+    become a fresh segment; commit=True merges all segments so the update is
+    visible to searchers (reload-to-see-commits)."""
+    builder = IndexBuilder(spark, config, index_dir)
+    acts = builder._manifest_actions()
+    used = [a["segment"] for a in acts if a.get("action") == "add"]
+    seg_id = (max(used) + 1) if used else 0
+    action = append_segment(builder, df, seg_id)
+    builder._append_manifest(action)
+    if commit:
+        segs = sorted({a["segment"] for a in builder._manifest_actions()
+                       if a["action"] == "add"})
+        builder._append_manifest(builder._merge(segs))
+    return action
+
+
 class StreamingIndexWriter:
     """foreachBatch sink: every micro-batch becomes one index segment."""
 
@@ -53,24 +98,7 @@ class StreamingIndexWriter:
             self.builder._append_manifest(
                 {"action": "protocol", "version": 1,
                  "engine": "tantivy4java_spark", "mode": "streaming"})
-        base = seg_id << SEG_SHIFT
-        schema = T.StructType(batch_df.schema.fields
-                              + [T.StructField("doc_id", T.LongType())])
-
-        def add_ids(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            from pyspark import TaskContext
-            pid = TaskContext.get().partitionId()
-            seen = 0
-            for pdf in it:
-                pdf = pdf.copy()
-                # partition-disjoint id space inside the segment
-                pdf["doc_id"] = (base + (pid << 24)
-                                 + np.arange(seen, seen + len(pdf), dtype=np.int64))
-                seen += len(pdf)
-                yield pdf
-
-        with_ids = batch_df.mapInPandas(add_ids, schema)
-        action = self.builder._build_segment(with_ids, seg_id)
+        action = append_segment(self.builder, batch_df, seg_id)
         action["streaming_batch_id"] = int(batch_id)
         self.builder._append_manifest(action)
 
