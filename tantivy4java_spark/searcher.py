@@ -216,7 +216,8 @@ class IndexSearcher:
 
     # -- scored decode of a set of (field, term) --------------------------------
     def _decoded_postings(self, field_terms: Sequence[Tuple[str, str]],
-                          shards: Optional[Sequence[int]] = None) -> DataFrame:
+                          shards: Optional[Sequence[int]] = None,
+                          min_block_max: Optional[float] = None) -> DataFrame:
         p = self.postings()
         fields = sorted({f for f, _ in field_terms})
         terms = sorted({t for _, t in field_terms})
@@ -228,6 +229,10 @@ class IndexSearcher:
             p = p.filter(pair.isin([f + "\x00" + t for f, t in field_terms]))
         if shards is not None:
             p = p.filter(F.col("shard").isin([int(s) for s in shards]))
+        if min_block_max is not None:
+            # block-level WAND skip: only valid when per-doc score == this
+            # term's block contribution (single-term queries)
+            p = p.filter(F.col("block_max_score") >= F.lit(float(min_block_max)))
         return p.mapInPandas(_decode_blocks, _DECODED_SCHEMA)
 
     def _score_decoded(self, decoded: DataFrame,
@@ -761,8 +766,11 @@ class IndexSearcher:
         if not shards:
             return self._empty_scored()
 
-        def scored_for(shard_ids: Sequence[int]) -> DataFrame:
-            decoded = self._decoded_postings(pairs, shards=shard_ids)
+        def scored_for(shard_ids: Sequence[int],
+                       min_block_max: Optional[float] = None) -> DataFrame:
+            decoded = self._decoded_postings(
+                pairs, shards=shard_ids,
+                min_block_max=min_block_max if len(pairs) == 1 else None)
             scored = self._score_decoded(decoded, idf_map)
             if mode == "and":
                 agg = (scored.groupBy("doc_id")
@@ -791,7 +799,8 @@ class IndexSearcher:
         survivors = [sh for sh, s in shards.items() if s["bound"] >= threshold]
         self.last_metrics["shards_scored"] = len(survivors)
         self.last_metrics["wand_threshold"] = threshold
-        return scored_for(survivors)
+        # single-term: additionally skip individual blocks below the threshold
+        return scored_for(survivors, min_block_max=threshold)
 
     # -- doc retrieval (S14 analog: join hits back to the doc store) ---------------
     def retrieve(self, hits: DataFrame, source: DataFrame,
