@@ -374,13 +374,20 @@ class IndexSearcher:
         scored = self._score_decoded(decoded, idf_map)
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
+    MAX_TERM_EXPANSIONS = 10_000  # protective bound on dictionary expansion
+
     def _score_regex(self, q) -> DataFrame:
         pattern = q.pattern if isinstance(q, Q.Regex) else Q.wildcard_to_regex(q.pattern)
         if isinstance(q, Q.Regex) and not pattern.startswith("^"):
             pattern = "^(?:" + pattern + ")$"  # term-anchored like tantivy RegexQuery
         expanded = (self.terms()
                     .filter((F.col("field") == q.field) & F.col("term").rlike(pattern))
-                    .select("term").collect())
+                    .select("term").limit(self.MAX_TERM_EXPANSIONS + 1).collect())
+        if len(expanded) > self.MAX_TERM_EXPANSIONS:
+            raise ValueError(
+                f"pattern expands past {self.MAX_TERM_EXPANSIONS} terms; "
+                f"narrow it (wildcard cost model: leading-* patterns are "
+                f"expensive — wildcard_analysis.rs:23-96)")
         terms = [r["term"] for r in expanded]
         if not terms:
             return self._empty_scored()
@@ -805,9 +812,14 @@ class IndexSearcher:
     # -- doc retrieval (S14 analog: join hits back to the doc store) ---------------
     def retrieve(self, hits: DataFrame, source: DataFrame,
                  on: str = "doc_id", fields: Optional[List[str]] = None) -> DataFrame:
+        """Fetch stored fields for hits: broadcast the SMALL side (the top-k
+        hit set) into a scan of the doc store — the broadcast hash join plus
+        Parquet row-group pruning is the range-consolidation analog of the
+        reference's batch retrieval (O7)."""
         cols = fields or [c for c in source.columns if c != on]
         sel = source.select(on, *cols)
-        return hits.join(F.broadcast(sel), on, "left")
+        return sel.join(F.broadcast(hits), on, "inner") \
+            .select(*hits.columns, *cols)
 
     def count(self, q: Q.Query) -> int:
         """Hit count without materializing scores order (bulk count path —
