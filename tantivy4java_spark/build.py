@@ -468,6 +468,23 @@ class IndexBuilder:
         with open(self.manifest_path, "a") as fh:
             fh.write(json.dumps(action, sort_keys=True) + "\n")
 
+    def _write_initial_manifest(self, mode: Optional[str] = None) -> None:
+        """First two manifest lines: protocol + field metadata.  Streaming
+        and batch builds both need the metadata action — the searcher reads
+        field types / shard_bits / block_size from it."""
+        proto = {"action": "protocol", "version": 1,
+                 "engine": "tantivy4java_spark"}
+        if mode:
+            proto["mode"] = mode
+        self._append_manifest(proto)
+        self._append_manifest({
+            "action": "metadata",
+            "fields": [{"name": f.name, "type": f.type, "tokenizer": f.tokenizer,
+                        "index_option": f.index_option} for f in self.config.fields],
+            "shard_bits": self.config.shard_bits,
+            "block_size": self.config.block_size,
+        })
+
     # -- tokenization -----------------------------------------------------
     def _tokens_expr(self, fc: FieldConfig):
         col = F.col(fc.name).cast("string")
@@ -775,15 +792,7 @@ class IndexBuilder:
         os.makedirs(self.index_dir, exist_ok=True)
         done = {a["segment"] for a in self._manifest_actions() if a["action"] == "add"}
         if not self._manifest_actions():
-            self._append_manifest({"action": "protocol", "version": 1,
-                                   "engine": "tantivy4java_spark"})
-            self._append_manifest({
-                "action": "metadata",
-                "fields": [{"name": f.name, "type": f.type, "tokenizer": f.tokenizer,
-                            "index_option": f.index_option} for f in self.config.fields],
-                "shard_bits": self.config.shard_bits,
-                "block_size": self.config.block_size,
-            })
+            self._write_initial_manifest()
 
         if doc_id_col is None and order_cols is None:
             # the zipWithIndex path scans the input twice; cache it first

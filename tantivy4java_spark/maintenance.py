@@ -124,14 +124,38 @@ def apply_deletes(spark: SparkSession, index_dir: str) -> int:
     tmp_terms = os.path.join(index_dir, "terms__new")
     terms_new.repartition(1).sortWithinPartitions("field", "term") \
         .write.mode("overwrite").parquet(tmp_terms)
+
+    # positions: phrase queries scan these and rely on the tombstone
+    # anti-join, so they MUST be rewritten before the tombstones are dropped
+    # (otherwise physically deleted docs reappear in phrase results).
+    pos_rel_dirs = s._stats.get("positions_dirs")
+    has_positions = bool(pos_rel_dirs) or \
+        os.path.isdir(os.path.join(index_dir, "positions"))
+    tmp_pos = os.path.join(index_dir, "positions__new")
+    old_pos_dirs = []
+    if has_positions:
+        old_pos_dirs = ([os.path.join(index_dir, d) for d in pos_rel_dirs]
+                        if pos_rel_dirs
+                        else [os.path.join(index_dir, "positions")])
+        (s.positions().join(tomb, "doc_id", "left_anti")
+         .repartition(max(1, nparts // 2), "field", "term")
+         .sortWithinPartitions("field", "term", "doc_id")
+         .write.mode("overwrite").parquet(tmp_pos))
+        stats["positions_dirs"] = ["positions"]
     tomb.unpersist()
 
     # atomic-ish swap
-    for name, tmp in [("docs", tmp_docs), ("postings", tmp_post),
-                      ("terms", tmp_terms)]:
+    swaps = [("docs", tmp_docs), ("postings", tmp_post), ("terms", tmp_terms)]
+    if has_positions:
+        swaps.append(("positions", tmp_pos))
+    for name, tmp in swaps:
         final = os.path.join(index_dir, name)
         shutil.rmtree(final, ignore_errors=True)
         os.rename(tmp, final)
+    # drop superseded per-segment positions dirs (now folded into positions/)
+    for d in old_pos_dirs:
+        if os.path.abspath(d) != os.path.abspath(os.path.join(index_dir, "positions")):
+            shutil.rmtree(d, ignore_errors=True)
     with open(os.path.join(index_dir, "stats.json"), "w") as fh:
         json.dump(stats, fh, indent=2, sort_keys=True)
     shutil.rmtree(del_dir, ignore_errors=True)

@@ -535,12 +535,20 @@ class IndexSearcher:
 
         should_scored = None
         if should:
+            # an explicitly set minimum_should_match is honored even when
+            # must clauses exist (SplitBooleanQuery semantics); normalize()
+            # only injects msm=1 for pure-SHOULD booleans, so msm>0 here with
+            # must present means the caller asked for it.
             should_scored = self._union_scored(
-                [self._score(c) for c in should], min_match=msm if not must else 0)
+                [self._score(c) for c in should], min_match=msm)
 
         if base_must is not None and should_scored is not None:
+            # msm>0 with must: docs must satisfy the must intersection AND
+            # >= msm should clauses -> inner join; otherwise should is
+            # optional scoring context -> left join.
+            how = "inner" if msm > 0 else "left"
             out = (base_must.alias("m")
-                   .join(should_scored.alias("s"), "doc_id", "left")
+                   .join(should_scored.alias("s"), "doc_id", how)
                    .select(F.col("doc_id"),
                            (F.col("m.score")
                             + F.coalesce(F.col("s.score"), F.lit(0.0))).alias("score")))
@@ -675,7 +683,11 @@ class IndexSearcher:
         """
         q = Q.normalize(q)
         self.last_metrics = {}
-        shape = self._pure_term_clauses(q) if prune else None
+        # field-ordered results must rank over the FULL match set, not a
+        # BM25-score-pruned subset — disable WAND pruning when ordering by
+        # a field value.
+        shape = self._pure_term_clauses(q) if (prune and not order_by_field) \
+            else None
         if shape is not None:
             scored = self._scored_pruned(shape[0], shape[1],
                                          limit + offset)
@@ -784,8 +796,14 @@ class IndexSearcher:
                        .agg(F.sum("score").alias("score"),
                             F.countDistinct("field", "term").alias("_n"))
                        .filter(F.col("_n") == len(pairs)))
-                return agg.select("doc_id", "score")
-            return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+                scored = agg.select("doc_id", "score")
+            else:
+                scored = scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
+            # deletes MUST apply before the phase-1 threshold is collected:
+            # a deleted doc inflating the threshold would wrongly prune shards
+            # holding live top-k docs (and the len(top1)<k fallback must count
+            # live docs only).
+            return self._apply_deletes(scored)
 
         order = sorted(shards.items(), key=lambda kv: -kv[1]["bound"])
         phase1, cum = [], 0

@@ -95,9 +95,11 @@ class StreamingIndexWriter:
         if seg_id in done:  # replay after checkpoint recovery: already durable
             return
         if not self.builder._manifest_actions():
-            self.builder._append_manifest(
-                {"action": "protocol", "version": 1,
-                 "engine": "tantivy4java_spark", "mode": "streaming"})
+            # protocol + METADATA: without the metadata action the searcher
+            # falls back to type 'text' / shard_bits 16 for every field, so
+            # string/ip query values would be tokenized+lowercased instead of
+            # raw-matched on a streaming-only index.
+            self.builder._write_initial_manifest(mode="streaming")
         action = append_segment(self.builder, batch_df, seg_id)
         action["streaming_batch_id"] = int(batch_id)
         self.builder._append_manifest(action)

@@ -175,6 +175,14 @@ class GoldenIndex:
             docs = set(must[0].keys())
             for m in must[1:]:
                 docs &= set(m.keys())
+            if msm > 0 and should:
+                # explicit minimum_should_match is enforced alongside must
+                # (reference SplitBooleanQuery semantics)
+                counts = defaultdict(int)
+                for s in should:
+                    for d in s:
+                        counts[d] += 1
+                docs &= {d for d, c in counts.items() if c >= msm}
         else:
             counts = defaultdict(int)
             for s in should:
