@@ -44,7 +44,9 @@ def main(argv=None):
                 if c in src.columns and c not in ("doc_id", "content_sha256")]
         if keys:
             hits = hits.join(src, keys, "left")
-    for row in hits.collect():
+    # the retrieve join does not preserve sort order — restore rank order
+    from pyspark.sql import functions as F
+    for row in hits.orderBy(F.desc("score"), F.asc("doc_id")).collect():
         print(json.dumps(row.asDict(), default=str))
     if s.last_metrics:
         print(json.dumps({"metrics": s.last_metrics}))

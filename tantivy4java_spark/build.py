@@ -51,6 +51,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tantivy4java_spark import codec
+from tantivy4java_spark import fsio
 from tantivy4java_spark.analysis import sql_tokenize_expr, tokenize_udf
 from tantivy4java_spark.fieldnorm import fieldnorm_to_id
 from tantivy4java_spark.schema import FieldConfig, IndexConfig
@@ -449,24 +450,26 @@ class IndexBuilder:
         self.segment_concurrency = max(1, segment_concurrency)
 
     # -- paths ------------------------------------------------------------
+    # All metadata I/O goes through fsio so the index root can be any
+    # Hadoop-supported URI (file://, s3a://, abfs://, gs://), matching the
+    # reference's mixed-URL split handling (merge_impl.rs:70-294).
     def _p(self, *parts) -> str:
-        return os.path.join(self.index_dir, *parts)
+        return fsio.join(self.index_dir, *parts)
 
     @property
     def manifest_path(self) -> str:
         return self._p("_manifest", "manifest.jsonl")
 
     def _manifest_actions(self) -> List[dict]:
-        if not os.path.exists(self.manifest_path):
+        if not fsio.exists(self.spark, self.manifest_path):
             return []
-        with open(self.manifest_path) as fh:
-            return [json.loads(line) for line in fh if line.strip()]
+        text = fsio.read_text(self.spark, self.manifest_path)
+        return [json.loads(line) for line in text.splitlines() if line.strip()]
 
     def _append_manifest(self, action: dict) -> None:
-        os.makedirs(os.path.dirname(self.manifest_path), exist_ok=True)
         action = dict(action, ts=time.time())
-        with open(self.manifest_path, "a") as fh:
-            fh.write(json.dumps(action, sort_keys=True) + "\n")
+        fsio.append_text(self.spark, self.manifest_path,
+                         json.dumps(action, sort_keys=True) + "\n")
 
     def _write_initial_manifest(self, mode: Optional[str] = None) -> None:
         """First two manifest lines: protocol + field metadata.  Streaming
@@ -613,9 +616,20 @@ class IndexBuilder:
 
     # -- merge / finalize ---------------------------------------------------
     def _segment_ok(self, seg_dir: str) -> bool:
-        """Cheap validity probe (footer read) — no Spark job per segment."""
+        """Cheap validity probe (footer read) — no Spark job per segment.
+
+        Non-posix roots: Spark's own footer read (driver-side schema
+        resolution) replaces the pyarrow probe."""
+        pdir = fsio.join(seg_dir, "postings")
+        if fsio.has_scheme(seg_dir):
+            try:
+                if not fsio.isdir_nonempty(self.spark, pdir):
+                    return False
+                self.spark.read.parquet(pdir).schema  # footer read, no job
+                return True
+            except Exception:
+                return False
         import pyarrow.parquet as pq
-        pdir = os.path.join(seg_dir, "postings")
         try:
             files = [f for f in os.listdir(pdir) if f.endswith(".parquet")]
             for f in files:
@@ -642,8 +656,8 @@ class IndexBuilder:
          .write.mode("overwrite").parquet(os.path.join(out_dir, "termstats")))
         docs = self.spark.read.parquet(*[os.path.join(d, "docs") for d in seg_dirs])
         docs.write.mode("overwrite").parquet(os.path.join(out_dir, "docs"))
-        pos_dirs = [os.path.join(d, "positions") for d in seg_dirs
-                    if os.path.exists(os.path.join(d, "positions"))]
+        pos_dirs = [fsio.join(d, "positions") for d in seg_dirs
+                    if fsio.exists(self.spark, fsio.join(d, "positions"))]
         if pos_dirs:
             (self.spark.read.parquet(*pos_dirs)
              .repartition(max(1, nparts // 2), "field", "term")
@@ -708,7 +722,16 @@ class IndexBuilder:
                  .agg(F.sum("df").cast("long").alias("df"),
                       F.sum("total_tf").cast("long").alias("total_tf")))
         terms = terms.persist()
-        (terms.repartition(1)
+        # RANGE-partitioned term dictionary: at 10^12-file scale the terms
+        # table is billions of rows — a single-partition write would funnel
+        # it through one reducer and every lookup through one monolithic
+        # file.  repartitionByRange + sortWithinPartitions keeps global
+        # (field, term) order ACROSS files, so Parquet min/max column stats
+        # on each range file give the searcher the same pruned lookup an FST
+        # would (the searcher filters field = X AND term IN (...), which
+        # prunes to the one or two range files covering those keys).
+        terms_parts = max(1, nparts // 4)
+        (terms.repartitionByRange(terms_parts, "field", "term")
          .sortWithinPartitions("field", "term")
          .write.mode("overwrite").parquet(self._p("terms")))
 
@@ -772,13 +795,13 @@ class IndexBuilder:
         # positions stay in their segment directories (already clustered by
         # (field, term, doc_id)); the searcher reads the dir list from stats —
         # no merge-time rewrite of the largest table.
-        pos_dirs = [os.path.relpath(os.path.join(d, "positions"), self.index_dir)
+        pos_dirs = [fsio.relpath(fsio.join(d, "positions"), self.index_dir)
                     for d in seg_dirs
-                    if os.path.exists(os.path.join(d, "positions"))]
+                    if fsio.exists(self.spark, fsio.join(d, "positions"))]
         stats["positions_dirs"] = pos_dirs
 
-        with open(self._p("stats.json"), "w") as fh:
-            json.dump(stats, fh, indent=2, sort_keys=True)
+        fsio.write_text(self.spark, self._p("stats.json"),
+                        json.dumps(stats, indent=2, sort_keys=True))
         terms.unpersist()
         return {"action": "commit",
                 "num_docs": int(num_docs), "wall_sec": round(time.time() - t0, 3)}
@@ -789,7 +812,7 @@ class IndexBuilder:
               fail_after_segments: Optional[int] = None) -> BuildStats:
         """Full build with resume: segments already in the manifest are skipped."""
         t0 = time.time()
-        os.makedirs(self.index_dir, exist_ok=True)
+        fsio.makedirs(self.spark, self.index_dir)
         done = {a["segment"] for a in self._manifest_actions() if a["action"] == "add"}
         if not self._manifest_actions():
             self._write_initial_manifest()

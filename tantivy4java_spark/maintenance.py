@@ -20,14 +20,14 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from tantivy4java_spark import fsio
 from tantivy4java_spark import queries as Q
 
 
-def _append_manifest(index_dir: str, action: dict) -> None:
-    path = os.path.join(index_dir, "_manifest", "manifest.jsonl")
-    os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "a") as fh:
-        fh.write(json.dumps(dict(action, ts=time.time()), sort_keys=True) + "\n")
+def _append_manifest(spark: SparkSession, index_dir: str, action: dict) -> None:
+    path = fsio.join(index_dir, "_manifest", "manifest.jsonl")
+    fsio.append_text(spark, path,
+                     json.dumps(dict(action, ts=time.time()), sort_keys=True) + "\n")
 
 
 def delete_by_query(spark: SparkSession, index_dir: str, query: Q.Query) -> int:
@@ -38,9 +38,9 @@ def delete_by_query(spark: SparkSession, index_dir: str, query: Q.Query) -> int:
     matched = s.score_query(query).select("doc_id").distinct()
     n = matched.count()
     if n:
-        matched.write.mode("append").parquet(os.path.join(index_dir, "_deletes"))
-    _append_manifest(index_dir, {"action": "delete", "num_docs": int(n),
-                                 "query": repr(query)})
+        matched.write.mode("append").parquet(fsio.join(index_dir, "_deletes"))
+    _append_manifest(spark, index_dir, {"action": "delete", "num_docs": int(n),
+                                        "query": repr(query)})
     return int(n)
 
 
@@ -59,15 +59,13 @@ def delete_all(spark: SparkSession, index_dir: str) -> int:
 def apply_deletes(spark: SparkSession, index_dir: str) -> int:
     """Physically remove tombstoned docs (merge-with-deletes, S7): rewrite
     docs + postings without them, refresh stats, clear ``_deletes``."""
-    import shutil
-
     from tantivy4java_spark.build import _POSTINGS_SCHEMA
     from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
     from tantivy4java_spark.scoring import K1
     from tantivy4java_spark.searcher import IndexSearcher, _DECODED_SCHEMA, _decode_blocks
 
-    del_dir = os.path.join(index_dir, "_deletes")
-    if not os.path.isdir(del_dir) or not os.listdir(del_dir):
+    del_dir = fsio.join(index_dir, "_deletes")
+    if not fsio.isdir_nonempty(spark, del_dir):
         return 0
     s = IndexSearcher(spark, index_dir)
     tomb = spark.read.parquet(del_dir).distinct().persist()
@@ -122,7 +120,10 @@ def apply_deletes(spark: SparkSession, index_dir: str) -> int:
      .mapInPandas(enc, _POSTINGS_SCHEMA)
      .write.mode("overwrite").parquet(tmp_post))
     tmp_terms = os.path.join(index_dir, "terms__new")
-    terms_new.repartition(1).sortWithinPartitions("field", "term") \
+    # range-sharded terms dictionary (same layout as the merge writes: file
+    # min/max stats on the sorted ranges give pruned lookups at scale)
+    terms_new.repartitionByRange(max(1, nparts // 4), "field", "term") \
+        .sortWithinPartitions("field", "term") \
         .write.mode("overwrite").parquet(tmp_terms)
 
     # positions: phrase queries scan these and rely on the tombstone
@@ -130,13 +131,13 @@ def apply_deletes(spark: SparkSession, index_dir: str) -> int:
     # (otherwise physically deleted docs reappear in phrase results).
     pos_rel_dirs = s._stats.get("positions_dirs")
     has_positions = bool(pos_rel_dirs) or \
-        os.path.isdir(os.path.join(index_dir, "positions"))
-    tmp_pos = os.path.join(index_dir, "positions__new")
+        fsio.exists(spark, fsio.join(index_dir, "positions"))
+    tmp_pos = fsio.join(index_dir, "positions__new")
     old_pos_dirs = []
     if has_positions:
-        old_pos_dirs = ([os.path.join(index_dir, d) for d in pos_rel_dirs]
+        old_pos_dirs = ([fsio.join(index_dir, d) for d in pos_rel_dirs]
                         if pos_rel_dirs
-                        else [os.path.join(index_dir, "positions")])
+                        else [fsio.join(index_dir, "positions")])
         (s.positions().join(tomb, "doc_id", "left_anti")
          .repartition(max(1, nparts // 2), "field", "term")
          .sortWithinPartitions("field", "term", "doc_id")
@@ -149,17 +150,18 @@ def apply_deletes(spark: SparkSession, index_dir: str) -> int:
     if has_positions:
         swaps.append(("positions", tmp_pos))
     for name, tmp in swaps:
-        final = os.path.join(index_dir, name)
-        shutil.rmtree(final, ignore_errors=True)
-        os.rename(tmp, final)
+        final = fsio.join(index_dir, name)
+        fsio.delete(spark, final)
+        fsio.rename(spark, tmp, final)
     # drop superseded per-segment positions dirs (now folded into positions/)
+    final_pos = fsio.join(index_dir, "positions")
     for d in old_pos_dirs:
-        if os.path.abspath(d) != os.path.abspath(os.path.join(index_dir, "positions")):
-            shutil.rmtree(d, ignore_errors=True)
-    with open(os.path.join(index_dir, "stats.json"), "w") as fh:
-        json.dump(stats, fh, indent=2, sort_keys=True)
-    shutil.rmtree(del_dir, ignore_errors=True)
-    _append_manifest(index_dir, {"action": "apply_deletes",
-                                 "removed": int(n_del),
-                                 "num_docs": num_docs})
+        if d.rstrip("/") != final_pos.rstrip("/"):
+            fsio.delete(spark, d)
+    fsio.write_text(spark, fsio.join(index_dir, "stats.json"),
+                    json.dumps(stats, indent=2, sort_keys=True))
+    fsio.delete(spark, del_dir)
+    _append_manifest(spark, index_dir, {"action": "apply_deletes",
+                                        "removed": int(n_del),
+                                        "num_docs": num_docs})
     return int(n_del)

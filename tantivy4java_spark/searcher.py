@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from tantivy4java_spark import codec
+from tantivy4java_spark import fsio
 from tantivy4java_spark import queries as Q
 from tantivy4java_spark.analysis import tokenize_text
 from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
@@ -82,8 +83,8 @@ class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str):
         self.spark = spark
         self.index_dir = index_dir.rstrip("/")
-        with open(os.path.join(self.index_dir, "stats.json")) as fh:
-            self._stats = json.load(fh)
+        self._stats = json.loads(fsio.read_text(
+            spark, fsio.join(self.index_dir, "stats.json")))
         self.num_docs: int = self._stats["num_docs"]
         self.field_stats: Dict[str, dict] = self._stats["fields"]
         self._meta = self._load_metadata()
@@ -92,14 +93,15 @@ class IndexSearcher:
         self.last_metrics: Dict[str, float] = {}
 
     def _load_metadata(self) -> dict:
-        path = os.path.join(self.index_dir, "_manifest", "manifest.jsonl")
+        path = fsio.join(self.index_dir, "_manifest", "manifest.jsonl")
         meta = {}
-        if os.path.exists(path):
-            with open(path) as fh:
-                for line in fh:
-                    a = json.loads(line)
-                    if a.get("action") == "metadata":
-                        meta = a
+        if fsio.exists(self.spark, path):
+            for line in fsio.read_text(self.spark, path).splitlines():
+                if not line.strip():
+                    continue
+                a = json.loads(line)
+                if a.get("action") == "metadata":
+                    meta = a
         return meta
 
     def _field_meta(self, name: str) -> dict:
@@ -141,8 +143,8 @@ class IndexSearcher:
     def _deletes(self) -> Optional[DataFrame]:
         """Tombstoned doc_ids (IndexWriter.deleteDocuments analog — S6;
         reference deletes are tombstone-based until a merge applies them)."""
-        path = os.path.join(self.index_dir, "_deletes")
-        if not os.path.isdir(path) or not os.listdir(path):
+        path = fsio.join(self.index_dir, "_deletes")
+        if not fsio.isdir_nonempty(self.spark, path):
             return None
         if "_deletes" not in self._frames:
             self._frames["_deletes"] = self.spark.read.parquet(path)
@@ -173,6 +175,8 @@ class IndexSearcher:
         local/posix path — row-group pruned, no Spark job (the L1-cache
         analog of the reference's metadata lookups).  Returns None when not
         applicable; callers fall back to a Spark job."""
+        if fsio.has_scheme(self.index_dir):
+            return None  # non-posix root: the Spark path handles any scheme
         path = os.path.join(self.index_dir, table)
         if not os.path.isdir(path):
             return None
