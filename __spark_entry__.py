@@ -47,7 +47,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:2".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:3".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_docs_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -64,7 +64,7 @@ def _events_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:2".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:3".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_events_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -528,8 +528,36 @@ pairs AS (SELECT a.doc_id id_a, b.doc_id id_b,
           FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.2"""
 
-    # d04_simhash / s03_ann_lsh / m01 / m02: rows-only checks (hash-family /
-    # LSH internals are not SQL-expressible) — omitted on purpose.
+    # d04: SimHash is md5-derived -> DuckDB replays the exact bit votes.
+    # bit j of token = bit (j%16) of the 16-bit chunk at hex chars
+    # [4*(j//16)+1 .. +4] of substr(md5(tok),1,16) — identical on both sides.
+    def _dig(i: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(h,{i},1))-1)"
+    chunk_exprs = ", ".join(
+        f"({_dig(4 * k + 1)}*4096 + {_dig(4 * k + 2)}*256 + "
+        f"{_dig(4 * k + 3)}*16 + {_dig(4 * k + 4)}) AS c{k}"
+        for k in range(4))
+    vote_exprs = ", ".join(
+        f"sum(((c{j // 16} >> {j % 16}) & 1)*2 - 1) AS v{j}" for j in range(64))
+    h_terms = " + ".join(
+        f"CASE WHEN v{j} > 0 THEN {1 << j} ELSE 0 END" for j in range(63))
+    h_expr = (f"({h_terms} + CASE WHEN v63 > 0 THEN "
+              f"(-9223372036854775807 - 1) ELSE 0 END)::BIGINT")
+    o["d04_simhash"] = f"""
+WITH u AS ({_union}),
+toks AS (SELECT id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                       x -> x <> '')) tok FROM u),
+hx AS (SELECT id, substr(md5(tok), 1, 16) h FROM toks),
+ch AS (SELECT id, {chunk_exprs} FROM hx),
+v AS (SELECT id, {vote_exprs} FROM ch GROUP BY id),
+sig AS (SELECT u.id, COALESCE({h_expr}, 0) h
+        FROM (SELECT DISTINCT id FROM u) u LEFT JOIN v ON v.id = u.id)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.h, b.h))::BIGINT AS hamming
+FROM sig a JOIN sig b ON a.id < b.id
+WHERE bit_count(xor(a.h, b.h)) <= 3"""
+
+    # s03 / m01 / m02: rows-only checks for now — omitted on purpose.
 
     o["d05_embedding_neardup"] = """
 WITH u AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings UNION ALL

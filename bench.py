@@ -91,6 +91,18 @@ def run_bench(spark, sf_dir: str, n_docs: int, workdir: str) -> dict:
         {"by_lang": A.Terms("lang", size=10)})["by_lang"].collect())
     steps["q_agg_terms"] = round(sec, 3)
 
+    # -- 1b) vectorized SimHash throughput (pure-Catalyst bit votes) --------
+    sh_docs = int(os.environ.get("SPARK_GRAFT_SIMHASH_DOCS", "1000000"))
+    if sh_docs > 0:
+        from pyspark.sql import functions as SF
+        from tantivy4java_spark.pipeline.dedup import simhash
+        sh_df = corpus_df(spark, sh_docs, min_tokens=30, max_tokens=120) \
+            .withColumn("id", SF.monotonically_increasing_id())
+        sec, _ = _timed(lambda: simhash(sh_df, "content", "id", "h")
+                        .agg(SF.count("h")).collect())
+        steps[f"simhash_{sh_docs // 1000}k"] = round(sec, 3)
+        build_info["simhash_docs_per_sec"] = round(sh_docs / sec, 1)
+
     # -- 2) driver documents table: build + a query -------------------------
     docs_dir = os.path.join(workdir, "docs_index")
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))

@@ -122,44 +122,43 @@ def ngram_jaccard_pairs(df: DataFrame, col: str, id_col: str, k: int = 3,
             .select("id_a", "id_b", F.round("_rawj", 6).alias("jaccard")))
 
 
-def simhash(df: DataFrame, col: str, out: str = "simhash",
-            bits: int = 64) -> DataFrame:
-    """64-bit SimHash over whitespace tokens weighted by tf (Arrow-batched).
+def simhash(df: DataFrame, col: str, id_col: str,
+            out: str = "simhash") -> DataFrame:
+    """64-bit SimHash over whitespace tokens weighted by tf — pure Catalyst
+    (whole-stage codegen end to end, no Python in the hot path).
 
-    Bit votes come from splitmix64 of each token (deterministic, seedless).
+    Bit source: the first 16 hex chars of ``md5(token)`` — an engine-portable
+    hash family any SQL engine can replay exactly (this is what makes the
+    driver's DuckDB oracle possible).  Bit j of a token = bit ``j % 16`` of
+    the 16-bit chunk parsed from hex chars ``[4*(j//16)+1 .. 4*(j//16)+4]``.
+
+    Plan shape at scale: narrow split+explode (no shuffle) -> ONE groupBy on
+    the doc id (uniform key) summing 64 JVM-side bit votes -> sign-assemble.
+    Docs with no tokens get simhash 0.
     """
-    from tantivy4java_spark.corpus import _splitmix64
-
-    @F.pandas_udf(T.LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        def one(text):
-            if not text:
-                return 0
-            toks = text.split()
-            if not toks:
-                return 0
-            uniq, counts = np.unique(np.array(toks, dtype=object),
-                                     return_counts=True)
-            hs = np.array([_hash_str(t) for t in uniq], dtype=np.uint64)
-            votes = np.zeros(bits, dtype=np.int64)
-            for j in range(bits):
-                bit = ((hs >> np.uint64(j)) & np.uint64(1)).astype(np.int64)
-                votes[j] = np.sum(np.where(bit == 1, counts, -counts))
-            v = 0
-            for j in range(bits):
-                if votes[j] > 0:
-                    v |= (1 << j)
-            return v - (1 << 64) if v >= (1 << 63) else v
-
-        def _hash_str(t: str) -> int:
-            h = np.uint64(1469598103934665603)
-            for ch in t.encode("utf-8"):
-                h = (h ^ np.uint64(ch)) * np.uint64(1099511628211)
-            return int(_splitmix64(np.array([h], dtype=np.uint64))[0])
-
-        return texts.map(one)
-
-    return df.withColumn(out, _simhash(F.col(col)))
+    toks = F.filter(F.split(F.col(col).cast("string"), r"\s+"),
+                    lambda t: t != F.lit(""))
+    exploded = df.select(F.col(id_col).alias("_sid"),
+                         F.explode(toks).alias("_tok"))
+    hx = F.substring(F.md5(F.col("_tok")), 1, 16)
+    chunks = [F.conv(F.substring(hx, 1 + 4 * k, 4), 16, 10).cast("long")
+              for k in range(4)]
+    vote_cols = []
+    for j in range(64):
+        bit = F.shiftright(chunks[j // 16], j % 16).bitwiseAND(F.lit(1))
+        vote_cols.append(F.sum(bit * 2 - 1).alias(f"_v{j}"))
+    votes = exploded.groupBy("_sid").agg(*vote_cols)
+    # assemble the signed 64-bit value: bit 63 contributes -2^63
+    h = F.lit(0).cast("long")
+    for j in range(63):
+        h = h + F.when(F.col(f"_v{j}") > 0, F.lit(1 << j).cast("long")) \
+                 .otherwise(F.lit(0).cast("long"))
+    h = h + F.when(F.col("_v63") > 0, F.lit(-(1 << 63)).cast("long")) \
+             .otherwise(F.lit(0).cast("long"))
+    sig = votes.select(F.col("_sid"), h.alias(out))
+    return (df.join(sig, F.col(id_col) == F.col("_sid"), "left")
+            .drop("_sid")
+            .withColumn(out, F.coalesce(F.col(out), F.lit(0).cast("long"))))
 
 
 def simhash_dup_pairs(df: DataFrame, col: str, id_col: str,
@@ -170,7 +169,8 @@ def simhash_dup_pairs(df: DataFrame, col: str, id_col: str,
     block value, never a cross join."""
     nblocks = max_hamming + 1
     width = 64 // nblocks
-    with_h = simhash(df.select(F.col(id_col).alias("_id"), col), col, "h")
+    with_h = simhash(df.select(F.col(id_col).alias("_id"), col),
+                     col, "_id", "h")
     blocks = with_h.select(
         "_id", "h",
         F.explode(F.array(*[
@@ -186,7 +186,7 @@ def simhash_dup_pairs(df: DataFrame, col: str, id_col: str,
             .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                     F.col("a.h").alias("ha"), F.col("b.h").alias("hb"))
             .dropDuplicates(["id_a", "id_b"]))
-    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("long")
     return (cand.withColumn("hamming", ham)
             .filter(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
