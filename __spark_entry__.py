@@ -302,12 +302,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         k=3, threshold=0.2)
     q["d04_simhash"] = lambda sp, sf: D.simhash_dup_pairs(
         _docs_with_copies(sp, sf), "text", "id", max_hamming=3)
+    # bucketer=8: the LSH-bucketed candidate path (the scale design — never
+    # a cross join); at threshold 0.9999 duplicates are (near-)identical
+    # vectors, which land in the same hyperplane bucket by construction.
     q["d05_embedding_neardup"] = lambda sp, sf: D.embedding_neardup_pairs(
         _emb(sp, sf).unionByName(
             _emb(sp, sf).filter(F.col("vec_id") < 3)
             .select((F.col("vec_id") + 100000).alias("vec_id"),
                     "embedding", "label")),
-        "embedding", "vec_id", threshold=0.9999, bucketer=None)
+        "embedding", "vec_id", threshold=0.9999, bucketer=8)
 
     # ---- similarity search --------------------------------------------------
     def _qvec(sp, sf):
@@ -557,7 +560,48 @@ SELECT a.id AS id_a, b.id AS id_b,
 FROM sig a JOIN sig b ON a.id < b.id
 WHERE bit_count(xor(a.h, b.h)) <= 3"""
 
-    # s03 / m01 / m02: rows-only checks for now — omitted on purpose.
+    # s03: the hyperplanes are deterministic (splitmix64, dim=64 fixed in
+    # the embeddings table) — inline them as DOUBLE[] literals and replay
+    # the bucket + multiprobe + exact-rerank pipeline in SQL.
+    from tantivy4java_spark.pipeline.similarity import _hyperplanes
+    H = _hyperplanes(64, 4, seed=42)
+    def _hlit(j: int) -> str:
+        return "[" + ",".join(repr(float(x)) for x in H[j]) + "]::DOUBLE[]"
+    def _bkt(vexpr: str) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({vexpr}, {_hlit(j)}) > 0 "
+            f"THEN {1 << j} ELSE 0 END)" for j in range(4))
+    _cosq = ("list_dot_product(e.v, q.v) / "
+             "(sqrt(list_dot_product(e.v, e.v)) * "
+             "sqrt(list_dot_product(q.v, q.v)))")
+    o["s03_ann_lsh"] = f"""
+WITH q AS (SELECT embedding::DOUBLE[] v, {_bkt("embedding::DOUBLE[]")} b
+           FROM embeddings WHERE vec_id = 0),
+allowed AS (SELECT b FROM q
+            UNION SELECT xor(b, 1) FROM q UNION SELECT xor(b, 2) FROM q
+            UNION SELECT xor(b, 4) FROM q UNION SELECT xor(b, 8) FROM q),
+eb AS (SELECT vec_id, embedding::DOUBLE[] v,
+              {_bkt("embedding::DOUBLE[]")} b FROM embeddings)
+SELECT e.vec_id, round({_cosq}, 6) AS cosine
+FROM eb e, q WHERE e.b IN (SELECT b FROM allowed)
+ORDER BY {_cosq} DESC, e.vec_id ASC LIMIT 10"""
+
+    # m01/m02: the synthetic media payload is an md5 chain over media_id —
+    # reconstructible in SQL, so sha256/n_bytes and the frame plan get full
+    # oracles.
+    _payload = ("array_to_string(list_transform(range(0, 2 + (i % 5)), "
+                "j -> md5(i::VARCHAR || ':' || j::VARCHAR)), '')")
+    o["m01_media_features"] = f"""
+WITH m AS (SELECT i,
+       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END kind,
+       {_payload} payload
+     FROM range(48) t(i))
+SELECT i::BIGINT AS media_id, kind, sha256(payload) AS sha256,
+       length(payload)::BIGINT AS n_bytes
+FROM m"""
+    o["m02_frame_plan"] = """
+SELECT i::BIGINT AS media_id, (((1000 + i * 17 - 1) // 500) + 1)::BIGINT AS n_frames
+FROM range(48) t(i) WHERE i % 3 = 2"""
 
     o["d05_embedding_neardup"] = """
 WITH u AS (SELECT vec_id, embedding::DOUBLE[] v FROM embeddings UNION ALL

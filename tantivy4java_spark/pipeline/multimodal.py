@@ -46,15 +46,21 @@ _FEATURES_SCHEMA = T.StructType([
 
 
 def synthesize_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for plumbing tests."""
-    rng = np.random.default_rng(seed)
+    """Deterministic fake media table for plumbing tests.
+
+    Payload bytes are an md5 chain over the media_id (utf-8 of
+    ``md5("i:0") || md5("i:1") || ...``) — a portable construction any SQL
+    engine reproduces exactly, so sha256/n_bytes get a real DuckDB oracle.
+    ``seed`` is kept for API compatibility (the chain is seedless)."""
     rows = []
     kinds = ["image", "audio", "video"]
     mimes = {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.integers(0, 256, size=64 + (i % 5) * 32,
-                                     dtype=np.uint8).tolist())
+        nchunks = 2 + (i % 5)  # 64..192 payload bytes
+        payload = "".join(
+            hashlib.md5(f"{i}:{j}".encode()).hexdigest()
+            for j in range(nchunks)).encode("utf-8")
         rows.append((i, kind, mimes[kind], payload,
                      64 + i % 512 if kind != "audio" else None,
                      48 + i % 256 if kind != "audio" else None,
