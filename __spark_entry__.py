@@ -238,6 +238,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _searcher(sp, sf).score_query(Q.Exists("n_chars"))
         .agg(F.count(F.lit(1)).alias("n")))
     q["q19_topk100"] = lambda sp, sf: _topk(sp, sf, Q.Term("text", "the"), k=100)
+    def _q23(sp, sf):
+        s = _searcher(sp, sf)
+        s.set_doc_source(_docs(sp, sf))  # one-row seed lookup, no shard decode
+        q = Q.MoreLikeThis(doc_id=0, field="text", min_doc_freq=5,
+                           min_term_freq=2, max_query_terms=5)
+        return s.search(q, limit=10).select(
+            "doc_id", F.round("score", 6).alias("score"))
+    q["q23_mlt"] = _q23
     # JSON dot-path queries (Q11) over the events.props JSON column
     q["q20_json_term"] = lambda sp, sf: (
         _events_searcher(sp, sf).score_query(Q.Term("props.k", 87))
@@ -446,6 +454,31 @@ ORDER BY {dm} DESC, COALESCE(a.doc_id, b.doc_id) ASC LIMIT 10"""
 
     o["q16_parser"] = _and2_sql(_term_cte("a", "merge"),
                                 _keyword_cte("b", "lang", "en"))
+    # MoreLikeThis: deterministic expansion (tf>=2 in doc 0, df>=5, top-5
+    # terms by idf_weight*tf with ties broken by term DESC — exactly the
+    # engine's picked.sort(reverse=True)), then a BM25 should-union top-10.
+    o["q23_mlt"] = _base_ctes() + f""",
+flat AS (SELECT doc_id, unnest(t) term FROM toks),
+tf0 AS (SELECT term, count(*)::BIGINT tf FROM flat WHERE doc_id = 0
+        GROUP BY term HAVING count(*) >= 2),
+dfs AS (SELECT f.term, count(DISTINCT f.doc_id)::DOUBLE df
+        FROM flat f JOIN tf0 ON tf0.term = f.term GROUP BY f.term),
+picked AS (SELECT d.term, d.df,
+             ln(1.0 + (s.n - d.df + 0.5) / (d.df + 0.5)) * {_IDFW} * t.tf AS sc
+           FROM dfs d JOIN tf0 t ON t.term = d.term, stats s
+           WHERE d.df >= 5
+           ORDER BY sc DESC, d.term DESC LIMIT 5),
+hits AS (SELECT f.doc_id, f.term, count(*)::BIGINT tf
+         FROM flat f JOIN picked p ON p.term = f.term
+         GROUP BY f.doc_id, f.term),
+scored AS (SELECT h.doc_id,
+    sum((ln(1.0 + (s.n - p.df + 0.5) / (p.df + 0.5)) * {_IDFW}) * h.tf /
+        (h.tf + {K1} * ({1.0 - B} + {B} * q.ql / s.avgdl))) raw
+  FROM hits h JOIN picked p ON p.term = h.term, stats s, qlens q
+  WHERE q.doc_id = h.doc_id GROUP BY h.doc_id)
+SELECT doc_id, round(raw, 6) AS score FROM scored
+ORDER BY raw DESC, doc_id ASC LIMIT 10"""
+
     o["q17_matchall_count"] = "SELECT count(*) AS n FROM documents"
     o["q18_exists"] = "SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL"
     o["q19_topk100"] = _single_term_sql("the", k=100)

@@ -150,7 +150,12 @@ class DisMax(Query):
 
 @dataclass(frozen=True)
 class MoreLikeThis(Query):
-    """Salient-terms OR query from a source doc (query/Query.java:238-254)."""
+    """Salient-terms OR query from a source doc (query/Query.java:238-254).
+
+    ``text`` (optional) supplies the seed document's content directly — the
+    cheapest path (tokenized driver-side, no cluster read).  Without it, the
+    searcher fetches the stored doc via a one-row doc-store lookup
+    (set_doc_source), falling back to a shard postings decode."""
     doc_id: int
     field: str
     min_doc_freq: int = 5
@@ -158,6 +163,7 @@ class MoreLikeThis(Query):
     min_term_freq: int = 2
     max_query_terms: int = 25
     boost_factor: float = 1.0
+    text: Optional[str] = None
 
 
 def normalize(q: Query) -> Query:

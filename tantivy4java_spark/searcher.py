@@ -91,6 +91,15 @@ class IndexSearcher:
         self._df_cache: Dict[Tuple[str, str], int] = {}
         self._frames: Dict[str, DataFrame] = {}
         self.last_metrics: Dict[str, float] = {}
+        self._doc_source: Optional[DataFrame] = None
+        self._doc_source_id: str = "doc_id"
+
+    def set_doc_source(self, df: DataFrame, id_col: str = "doc_id") -> None:
+        """Register the source/doc-store table (Parquet-companion mode: the
+        source columnar table IS the stored-document store).  Enables
+        one-row lookups for MoreLikeThis seed-term extraction."""
+        self._doc_source = df
+        self._doc_source_id = id_col
 
     def _load_metadata(self) -> dict:
         path = fsio.join(self.index_dir, "_manifest", "manifest.jsonl")
@@ -612,7 +621,28 @@ class IndexSearcher:
         return out.select("doc_id", score.alias("score"))
 
     # -- MoreLikeThis -------------------------------------------------------------
-    def _expand_mlt(self, q: Q.MoreLikeThis) -> Q.Query:
+    def _mlt_seed_terms(self, q: Q.MoreLikeThis) -> List[Tuple[str, int]]:
+        """(term, tf) pairs of the seed doc.  Preference order:
+        1. q.text (driver-side tokenize, zero cluster reads)
+        2. one-row doc-store lookup (set_doc_source) + driver tokenize —
+           a pruned point read, NOT a whole-shard postings decode
+        3. fallback: decode the doc's shard postings blocks (bare index,
+           no source registered)."""
+        from collections import Counter
+        fm = self._field_meta(q.field)
+        tokenizer = fm.get("tokenizer", "default")
+
+        text = q.text
+        if text is None and self._doc_source is not None:
+            rows = (self._doc_source
+                    .filter(F.col(self._doc_source_id) == q.doc_id)
+                    .select(q.field).limit(1).collect())
+            if not rows or rows[0][q.field] is None:
+                return []
+            text = str(rows[0][q.field])
+        if text is not None:
+            cnt = Counter(t for t, _ in tokenize_text(text, tokenizer))
+            return [(t, c) for t, c in cnt.items()]
         shard = q.doc_id >> self._meta.get("shard_bits", 16)
         blocks = (self.postings()
                   .filter((F.col("field") == q.field) & (F.col("shard") == shard)
@@ -621,7 +651,11 @@ class IndexSearcher:
         decoded = blocks.mapInPandas(_decode_blocks, _DECODED_SCHEMA)
         rows = (decoded.filter(F.col("doc_id") == q.doc_id)
                 .select("term", "tf").collect())
-        cand = [(r["term"], int(r["tf"])) for r in rows if int(r["tf"]) >= q.min_term_freq]
+        return [(r["term"], int(r["tf"])) for r in rows]
+
+    def _expand_mlt(self, q: Q.MoreLikeThis) -> Q.Query:
+        cand = [(t, tf) for t, tf in self._mlt_seed_terms(q)
+                if tf >= q.min_term_freq]
         if not cand:
             return Q.Boolean()
         dfs = self.term_dfs([(q.field, t) for t, _ in cand])
