@@ -425,6 +425,23 @@ def _decode_reencode_fn(block_size: int, norm_decode, avgdl_map,
     return merge
 
 
+def active_segments(actions: List[dict]) -> List[int]:
+    """Effective (non-rolled-back) segment adds, in manifest order.
+
+    A ``rollback`` action removes the segments it names from the active set
+    (IndexWriter.rollback analog — uncommitted adds are discarded); a later
+    ``add`` of the same id re-activates it (resume-after-rollback)."""
+    act: List[int] = []
+    for a in actions:
+        if a.get("action") == "add":
+            if a["segment"] not in act:
+                act.append(a["segment"])
+        elif a.get("action") == "rollback":
+            dropped = set(a.get("segments", []))
+            act = [s for s in act if s not in dropped]
+    return act
+
+
 @dataclass
 class BuildStats:
     num_docs: int
@@ -813,7 +830,7 @@ class IndexBuilder:
         """Full build with resume: segments already in the manifest are skipped."""
         t0 = time.time()
         fsio.makedirs(self.spark, self.index_dir)
-        done = {a["segment"] for a in self._manifest_actions() if a["action"] == "add"}
+        done = set(active_segments(self._manifest_actions()))
         if not self._manifest_actions():
             self._write_initial_manifest()
 

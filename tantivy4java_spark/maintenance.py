@@ -56,6 +56,43 @@ def delete_all(spark: SparkSession, index_dir: str) -> int:
     return delete_by_query(spark, index_dir, Q.MatchAll())
 
 
+def rollback(spark: SparkSession, index_dir: str) -> list:
+    """Discard uncommitted segment adds (IndexWriter.rollback analog,
+    core/IndexWriter.java:133): every segment added since the last ``commit``
+    manifest action is removed from the effective set (a ``rollback`` action
+    names them) and its directory is deleted.  Returns the rolled-back
+    segment ids.
+
+    Documented deviation: delete_by_query tombstones in this engine apply
+    immediately (searcher-side anti-join) and are NOT transactional, so they
+    are not unwound by rollback."""
+    manifest = fsio.join(index_dir, "_manifest", "manifest.jsonl")
+    if not fsio.exists(spark, manifest):
+        return []
+    actions = [json.loads(line)
+               for line in fsio.read_text(spark, manifest).splitlines()
+               if line.strip()]
+    last_commit = -1
+    for i, a in enumerate(actions):
+        if a.get("action") == "commit":
+            last_commit = i
+    tail = actions[last_commit + 1:]
+    already = {s for a in tail if a.get("action") == "rollback"
+               for s in a.get("segments", [])}
+    rolled = []
+    for a in tail:
+        if a.get("action") == "add" and a["segment"] not in already \
+                and a["segment"] not in rolled:
+            rolled.append(a["segment"])
+    if not rolled:
+        return []
+    for sid in rolled:
+        fsio.delete(spark, fsio.join(index_dir, "segments", f"seg={sid:05d}"))
+    _append_manifest(spark, index_dir,
+                     {"action": "rollback", "segments": rolled})
+    return rolled
+
+
 def apply_deletes(spark: SparkSession, index_dir: str) -> int:
     """Physically remove tombstoned docs (merge-with-deletes, S7): rewrite
     docs + postings without them, refresh stats, clear ``_deletes``."""

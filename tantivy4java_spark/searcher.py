@@ -450,10 +450,17 @@ class IndexSearcher:
             if q.upper is not None:
                 uv = F.lit(float(q.upper))
                 cond = cond & (F.col("_v") <= uv if q.include_upper else F.col("_v") < uv)
-            matched = [r["term"] for r in cand.filter(cond).select("term").collect()]
-            if not matched:
-                return self._empty_scored()
-            decoded = self._decoded_postings([(base, t) for t in matched])
+            # terms -> postings join stays ON THE CLUSTER: a wide numeric
+            # range over a high-cardinality JSON path must never collect
+            # term strings to the driver (unbounded memory).  The prefix
+            # filter is pushed to both parquet scans; AQE picks a broadcast
+            # when the matched term set is small.
+            matched = cand.filter(cond).select("field", "term")
+            p = (self.postings()
+                 .filter((F.col("field") == base)
+                         & F.col("term").startswith(prefix))
+                 .join(matched, ["field", "term"]))
+            decoded = p.mapInPandas(_decode_blocks, _DECODED_SCHEMA)
             return (decoded.select("doc_id").distinct()
                     .select("doc_id", F.lit(1.0).alias("score")))
         fm = self._field_meta(q.field)

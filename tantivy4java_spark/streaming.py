@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from tantivy4java_spark.build import IndexBuilder
+from tantivy4java_spark.build import IndexBuilder, active_segments
 from tantivy4java_spark.schema import IndexConfig
 
 SEG_SHIFT = 40  # up to 2^40 docs per micro-batch segment
@@ -65,13 +65,13 @@ def add_documents(spark: SparkSession, config: IndexConfig, index_dir: str,
     visible to searchers (reload-to-see-commits)."""
     builder = IndexBuilder(spark, config, index_dir)
     acts = builder._manifest_actions()
+    # ids are never reused, even after rollback (opstamp-like monotonicity)
     used = [a["segment"] for a in acts if a.get("action") == "add"]
     seg_id = (max(used) + 1) if used else 0
     action = append_segment(builder, df, seg_id)
     builder._append_manifest(action)
     if commit:
-        segs = sorted({a["segment"] for a in builder._manifest_actions()
-                       if a["action"] == "add"})
+        segs = sorted(set(active_segments(builder._manifest_actions())))
         builder._append_manifest(builder._merge(segs))
     return action
 
@@ -90,8 +90,7 @@ class StreamingIndexWriter:
     # -- batch hook ---------------------------------------------------------
     def process_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         seg_id = self.seg_id_base + int(batch_id)
-        done = {a["segment"] for a in self.builder._manifest_actions()
-                if a["action"] == "add"}
+        done = set(active_segments(self.builder._manifest_actions()))
         if seg_id in done:  # replay after checkpoint recovery: already durable
             return
         if not self.builder._manifest_actions():
@@ -119,8 +118,7 @@ class StreamingIndexWriter:
     def refresh(self) -> dict:
         """Commit: merge all streamed segments into the queryable index
         (reload-to-see-commits semantics, native/src/index.rs:289)."""
-        segs = sorted({a["segment"] for a in self.builder._manifest_actions()
-                       if a["action"] == "add"})
+        segs = sorted(set(active_segments(self.builder._manifest_actions())))
         action = self.builder._merge(segs)
         self.builder._append_manifest(action)
         return action
