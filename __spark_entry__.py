@@ -47,7 +47,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:3".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:4".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_docs_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -64,7 +64,7 @@ def _events_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:3".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:4".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_events_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -72,7 +72,8 @@ def _events_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             fields=[FieldConfig("event_type", "string"),
                     FieldConfig("props", "json"),
                     FieldConfig("value", "f64", fast=True),
-                    FieldConfig("user_id", "i64", fast=True)],
+                    FieldConfig("user_id", "i64", fast=True),
+                    FieldConfig("ts", "date", fast=True)],
             id_cols=["event_id", "event_type", "user_id", "value"],
         )
         build_index(spark, ev, cfg, idx_dir, doc_id_col="event_id")
@@ -257,6 +258,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q22_json_exists"] = lambda sp, sf: (
         _events_searcher(sp, sf).score_query(Q.Exists("props.k"))
         .agg(F.count(F.lit(1)).alias("n")))
+    # typed DATE range through the query-string parser (microsecond bounds)
+    def _q24(sp, sf):
+        sp.conf.set("spark.sql.session.timeZone", "UTC")
+        qq = parse_query(
+            "ts:[2024-01-03T00:00:00Z TO 2024-01-05T12:30:00.123456Z}", [])
+        return (_events_searcher(sp, sf).score_query(qq)
+                .select("doc_id", F.col("score").cast("double").alias("score")))
+    q["q24_date_range"] = _q24
 
     # ---- aggregations (SURVEY §2.3) ---------------------------------------
     q["a01_terms_sub"] = lambda sp, sf: A.apply_agg(
@@ -499,6 +508,10 @@ FROM m, d, n"""
 SELECT event_id AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM events
 WHERE try_cast({_k} AS DOUBLE) BETWEEN 10 AND 20"""
     o["q22_json_exists"] = f"SELECT count(*) AS n FROM events WHERE {_k} <> ''"
+    o["q24_date_range"] = """
+SELECT event_id AS doc_id, CAST(1.0 AS DOUBLE) AS score FROM events
+WHERE ts >= TIMESTAMP '2024-01-03 00:00:00'
+  AND ts <  TIMESTAMP '2024-01-05 12:30:00.123456'"""
 
     # ---- aggregations -------------------------------------------------------
     o["a01_terms_sub"] = """

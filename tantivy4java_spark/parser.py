@@ -70,9 +70,32 @@ def _lex(s: str) -> List[_Tok]:
     return out
 
 
+_ISO_DT_RE = re.compile(
+    r"^\d{4}-\d{2}-\d{2}"
+    r"([T ]\d{2}:\d{2}:\d{2}(\.\d{1,6})?(Z|[+-]\d{2}:?\d{2})?)?$")
+
+
+def parse_iso_datetime(s: str):
+    """ISO-8601 date/datetime -> naive-UTC datetime (microsecond precision,
+    matching the reference's DATE fields — DateMicrosecondPrecisionTest).
+    Returns None when `s` is not ISO-shaped."""
+    from datetime import datetime, timezone
+    if not _ISO_DT_RE.match(s):
+        return None
+    try:
+        dt = datetime.fromisoformat(s.replace("Z", "+00:00"))
+    except ValueError:
+        return None
+    if dt.tzinfo is not None:
+        dt = dt.astimezone(timezone.utc).replace(tzinfo=None)
+    return dt
+
+
 def _coerce(v: str):
-    """Type a range bound: int, float, else string (query/Query.java:280-297
-    type-aware bound parsing)."""
+    """Type a range bound: int, float, ISO datetime, else string
+    (query/Query.java:280-297 type-aware bound parsing).  The searcher
+    re-coerces against the actual column dtype at lowering, so a
+    date-shaped bound on a string field still raw-matches."""
     if v == "*":
         return None
     try:
@@ -83,6 +106,9 @@ def _coerce(v: str):
         return float(v)
     except ValueError:
         pass
+    dt = parse_iso_datetime(v)
+    if dt is not None:
+        return dt
     return v
 
 

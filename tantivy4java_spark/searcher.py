@@ -356,7 +356,9 @@ class IndexSearcher:
             # numeric/date/bool term: fast-field equality, constant score
             # (range-family semantics; tantivy numeric terms are rarely
             #  rank-relevant — documented deviation)
-            return (self.docs().filter(F.col(q.field) == F.lit(q.value))
+            docs = self.docs()
+            val = _coerce_typed_bound(q.value, dict(docs.dtypes).get(q.field, ""))
+            return (docs.filter(F.col(q.field) == F.lit(val))
                     .select("doc_id", F.lit(1.0).alias("score")))
         term = self.query_term(q.field, q.value)
         if term is None:
@@ -467,12 +469,15 @@ class IndexSearcher:
         docs = self.docs()
         if q.field not in docs.columns:
             raise ValueError(f"range query needs a fast field: {q.field}")
+        dtype = dict(docs.dtypes).get(q.field, "")
+        lower = _coerce_typed_bound(q.lower, dtype)
+        upper = _coerce_typed_bound(q.upper, dtype)
         col = F.col(q.field)
         cond = F.lit(True)
-        if q.lower is not None:
-            cond = cond & (col >= F.lit(q.lower) if q.include_lower else col > F.lit(q.lower))
-        if q.upper is not None:
-            cond = cond & (col <= F.lit(q.upper) if q.include_upper else col < F.lit(q.upper))
+        if lower is not None:
+            cond = cond & (col >= F.lit(lower) if q.include_lower else col > F.lit(lower))
+        if upper is not None:
+            cond = cond & (col <= F.lit(upper) if q.include_upper else col < F.lit(upper))
         return docs.filter(cond).select("doc_id", F.lit(1.0).alias("score"))
 
     # -- phrase ------------------------------------------------------------------
@@ -901,6 +906,42 @@ class IndexSearcher:
     def warmup_query(self, q: Q.Query) -> None:
         """warmupQuery analog (split/SplitSearcher.java:1306)."""
         self.search(q, limit=1).collect()
+
+
+def _coerce_typed_bound(v, dtype: str):
+    """Lower a query bound against the actual fast-column dtype (the
+    schema-aware half of typed DATE handling; SchemaBuilder.java:234-247):
+    timestamp columns accept ISO strings / datetimes at microsecond
+    precision; string columns get datetimes (from an over-eager parse)
+    rendered back to ISO text; date columns accept dates."""
+    if v is None:
+        return None
+    import datetime as _dtm
+    if dtype.startswith("timestamp"):
+        if isinstance(v, _dtm.datetime):
+            return v
+        if isinstance(v, _dtm.date):
+            return _dtm.datetime(v.year, v.month, v.day)
+        if isinstance(v, str):
+            from tantivy4java_spark.parser import parse_iso_datetime
+            dt = parse_iso_datetime(v)
+            if dt is None:
+                raise ValueError(f"not an ISO datetime bound: {v!r}")
+            return dt
+        return v
+    if dtype == "date":
+        if isinstance(v, _dtm.datetime):
+            return v.date()
+        if isinstance(v, str):
+            from tantivy4java_spark.parser import parse_iso_datetime
+            dt = parse_iso_datetime(v)
+            if dt is None:
+                raise ValueError(f"not an ISO date bound: {v!r}")
+            return dt.date()
+        return v
+    if dtype == "string" and isinstance(v, (_dtm.datetime, _dtm.date)):
+        return v.isoformat()
+    return v
 
 
 def _edit_distance(a: str, b: str, cap: int, osa: bool) -> int:

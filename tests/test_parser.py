@@ -70,8 +70,12 @@ def test_range_inclusive_exclusive():
     assert parse_query("score:[80 TO *]", DF) == Q.Range("score", 80, None, True, True)
     assert parse_query("price:{10.5 TO 20}", DF) == \
         Q.Range("price", 10.5, 20, False, False)
+    # ISO datetime bounds lower to TYPED datetimes (naive UTC, microsecond
+    # precision) — reference DATE-field semantics
+    import datetime as dtm
     assert parse_query("published:[2024-01-01T00:00:00Z TO 2024-06-30T23:59:59Z]", DF) == \
-        Q.Range("published", "2024-01-01T00:00:00Z", "2024-06-30T23:59:59Z", True, True)
+        Q.Range("published", dtm.datetime(2024, 1, 1),
+                dtm.datetime(2024, 6, 30, 23, 59, 59), True, True)
 
 
 def test_wildcard_and_prefix():
