@@ -506,8 +506,28 @@ class IndexBuilder:
         })
 
     # -- tokenization -----------------------------------------------------
-    def _tokens_expr(self, fc: FieldConfig):
-        col = F.col(fc.name).cast("string")
+    @staticmethod
+    def _is_array(df: DataFrame, name: str) -> bool:
+        return isinstance(df.schema[name].dataType, T.ArrayType)
+
+    def _text_col(self, fc: FieldConfig, df: DataFrame):
+        """Text source column as ONE string, multi-value aware.
+
+        ARRAY columns (multi-valued fields — reference arrays handled at
+        parquet_companion/indexing.rs:1178,1544 and BATCH_PROTOCOL.md:58-66)
+        join elements with an over-token-limit separator word: the separator
+        is position-assigned by the tokenizer and then dropped by the length
+        filter, so element boundaries advance positions by 2 (the tantivy
+        multi-value position-gap) with ZERO per-element Python.  Documented
+        deviation from the reference's array->JSON flattening: slop-0
+        phrases never match across element boundaries here."""
+        if self._is_array(df, fc.name):
+            sep = "z" * (fc.token_limit + 1)
+            return F.concat_ws(f" {sep} ", F.col(fc.name))
+        return F.col(fc.name).cast("string")
+
+    def _tokens_expr(self, fc: FieldConfig, df: DataFrame):
+        col = self._text_col(fc, df)
         if self.use_sql_tokenizer:
             return sql_tokenize_expr(col, fc.tokenizer, fc.token_limit)
         return tokenize_udf(fc.tokenizer, fc.token_limit)(col)
@@ -527,7 +547,14 @@ class IndexBuilder:
             sel.append(F.sha2(F.col(cfg.content_col).cast("string"), 256).alias("content_sha256"))
         tok_cols = [(fc, None) for fc in cfg.text_fields]
         for fc in cfg.text_fields:
-            sel.append(F.size(self._tokens_expr(fc)).alias(f"len_{fc.name}"))
+            if fc.type == "string" and self._is_array(seg_df, fc.name):
+                # multi-valued keyword: length 1 when present (keyword
+                # scoring model stays avgdl=1 / norm=1)
+                sel.append(F.when(F.size(F.col(fc.name)) > 0, 1)
+                           .otherwise(0).alias(f"len_{fc.name}"))
+            else:
+                sel.append(F.size(self._tokens_expr(fc, seg_df))
+                           .alias(f"len_{fc.name}"))
         included = {"doc_id"} | {c for c in cfg.id_cols} | \
             ({"content_sha256"} if cfg.content_col else set())
         for fc in cfg.fields:
@@ -551,7 +578,21 @@ class IndexBuilder:
             if fc.type == "text":
                 fn = _tokenize_agg_fn(fc.name, fc.tokenizer, fc.token_limit)
                 token_frames.append(
-                    seg_df.select("doc_id", fc.name).mapInPandas(fn, _PDT_SCHEMA))
+                    seg_df.select("doc_id",
+                                  self._text_col(fc, seg_df).alias(fc.name))
+                    .mapInPandas(fn, _PDT_SCHEMA))
+            elif fc.type == "string" and self._is_array(seg_df, fc.name):
+                # multi-valued keyword: one term per element, tf = element
+                # multiplicity (explode -> groupBy keyed (doc, term))
+                token_frames.append(
+                    seg_df.select("doc_id", F.explode(fc.name).alias("_v"))
+                    .filter(F.col("_v").isNotNull() & (F.col("_v") != F.lit("")))
+                    .groupBy("doc_id", "_v")
+                    .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+                    .select("doc_id", F.lit(fc.name).alias("field"),
+                            F.col("_v").alias("term"), "tf",
+                            F.lit(1).cast("long").alias("norm_id"),
+                            F.lit(None).cast("binary").alias("pos_bin")))
             elif fc.type == "string":  # raw/keyword: whole value, tf=1, len=1
                 val = F.col(fc.name).cast("string")
                 token_frames.append(
