@@ -1,11 +1,16 @@
 """Stateful streaming operators for training-data pipelines.
 
 `streaming_exact_dedup`: cross-micro-batch exact deduplication with
-`applyInPandasWithState` — the state per hash-prefix group is the set of
-content digests already emitted; later duplicates (within or across batches)
-are dropped.  This is the streaming counterpart of dedup.exact_dedup and the
-pattern to follow for any custom stateful operator (watermark + grouped
-state), per the task brief's Structured Streaming requirements.
+`applyInPandasWithState` — the state is keyed BY CONTENT DIGEST, one tiny
+boolean per distinct digest, so per-micro-batch state I/O is O(rows in the
+batch) and never rewrites previously-seen history (the round-1 design kept a
+sorted digest array per hash bucket and rewrote it every batch — O(corpus /
+n_buckets) per batch, unbounded growth).  The Spark state store (RocksDB /
+HDFS-backed at scale) is built for many small groups; the shuffle key is the
+digest itself, uniform by construction.
+
+This is the streaming counterpart of dedup.exact_dedup and the pattern to
+follow for custom stateful operators (grouped state + append mode).
 """
 
 from __future__ import annotations
@@ -19,41 +24,39 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-_STATE_SCHEMA = "seen ARRAY<STRING>"
+_STATE_SCHEMA = "seen BOOLEAN"
 
 
 def streaming_exact_dedup(stream_df: DataFrame, col: str,
-                          n_buckets: int = 64) -> DataFrame:
+                          n_buckets: int = 0) -> DataFrame:
     """Streaming DataFrame -> same schema, first occurrence of each exact
     `col` value only (across all micro-batches).
 
-    Scale shape: state is partitioned by a hash-prefix bucket so each group's
-    state stays bounded and the shuffle key is uniform; at 10^12 scale raise
-    n_buckets (state per group ~ corpus_digests / n_buckets).
+    State shape: one boolean per distinct digest (group key = digest).  A
+    digest's state is written once, on first sight; later duplicates read
+    one tiny state entry and emit nothing.  ``n_buckets`` is retained for
+    API compatibility and ignored (bucketing is no longer needed — the
+    state store shards by group key).
     """
     digest = F.sha2(F.col(col).cast("string"), 256)
-    bucketed = stream_df.withColumn("_sha", digest).withColumn(
-        "_bucket", (F.abs(F.xxhash64("_sha")) % n_buckets).cast("int"))
-    out_schema = T.StructType(bucketed.schema.fields)
+    keyed = stream_df.withColumn("_sha", digest)
+    out_schema = T.StructType(keyed.schema.fields)
 
     def dedup(key: Tuple, pdfs: Iterator[pd.DataFrame],
               state: GroupState) -> Iterator[pd.DataFrame]:
-        seen = set(state.get[0]) if state.exists else set()
-        new_seen = set(seen)
+        if state.exists:
+            for _ in pdfs:  # drain; digest already emitted in a prior batch
+                pass
+            return
+        emitted = False
         for pdf in pdfs:
-            fresh_mask = []
-            for sha in pdf["_sha"]:
-                if sha in new_seen:
-                    fresh_mask.append(False)
-                else:
-                    new_seen.add(sha)
-                    fresh_mask.append(True)
-            out = pdf[pd.Series(fresh_mask, index=pdf.index)]
-            if len(out):
-                yield out
-        state.update((sorted(new_seen),))
+            if not emitted and len(pdf):
+                yield pdf.iloc[:1]
+                emitted = True
+        if emitted:
+            state.update((True,))
 
-    deduped = bucketed.groupBy("_bucket").applyInPandasWithState(
+    deduped = keyed.groupBy("_sha").applyInPandasWithState(
         dedup, out_schema, _STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
-    return deduped.drop("_sha", "_bucket")
+    return deduped.drop("_sha")
