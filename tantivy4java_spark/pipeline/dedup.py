@@ -64,28 +64,36 @@ def minhash_dedup_pairs(df: DataFrame, col: str, id_col: str,
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signature(F.col(col), num_hashes, k)
-    with_sig = df.select(F.col(id_col).alias("_id"),
-                         F.col(col).alias("_text"),
-                         sig.alias("_sig"),
-                         shingles_col(F.col(col), k).alias("_sh"))
-    band_rows = with_sig.select(
-        "_id", "_sh",
+    base = df.select(F.col(id_col).alias("_id"),
+                     minhash_signature(F.col(col), num_hashes, k).alias("_sig"),
+                     shingles_col(F.col(col), k).alias("_sh"))
+    # ONLY (id, band, bhash) rides through the band-bucket shuffle — the
+    # full shingle arrays would multiply the shuffle bytes by the band
+    # count; they are re-attached AFTER candidate-pair dedup (a narrow
+    # recompute + an id-keyed join that AQE broadcasts when small).
+    band_rows = base.select(
+        "_id",
         F.explode(F.array(*[
             F.struct(F.lit(b).alias("band"),
                      F.concat_ws("", F.slice(F.col("_sig"),
                                              b * rows_per_band + 1,
                                              rows_per_band)).alias("bhash"))
             for b in range(bands)])).alias("bb"))
-    band_rows = band_rows.select("_id", "_sh", F.col("bb.band").alias("band"),
+    band_rows = band_rows.select("_id", F.col("bb.band").alias("band"),
                                  F.col("bb.bhash").alias("bhash"))
     a = band_rows.alias("a")
     b = band_rows.alias("b")
-    cand = (a.join(b, ["band", "bhash"])
-            .filter(F.col("a._id") < F.col("b._id"))
-            .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
-                    F.col("a._sh").alias("sh_a"), F.col("b._sh").alias("sh_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+    cand_ids = (a.join(b, ["band", "bhash"])
+                .filter(F.col("a._id") < F.col("b._id"))
+                .select(F.col("a._id").alias("id_a"),
+                        F.col("b._id").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+    sh = base.select("_id", "_sh")
+    cand = (cand_ids
+            .join(sh.select(F.col("_id").alias("id_a"),
+                            F.col("_sh").alias("sh_a")), "id_a")
+            .join(sh.select(F.col("_id").alias("id_b"),
+                            F.col("_sh").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
