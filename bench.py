@@ -59,6 +59,14 @@ def run_bench(spark, sf_dir: str, n_docs: int, workdir: str) -> dict:
 
     steps: dict = {}
 
+    # -- 0) JVM/codegen warmup (outside all timed regions) -------------------
+    # This sandbox shows ±60% wall-clock noise dominated by first-job JIT
+    # and executor-thread spin-up; one throwaway job makes the recorded
+    # numbers reflect the engine, not the JVM cold start.
+    from pyspark.sql import functions as WF
+    spark.range(0, 2_000_000, 1, 32).select(WF.sum("id")).collect()
+    corpus_df(spark, 2000).select(WF.count(WF.lit(1))).collect()
+
     # -- 1) code-corpus build throughput ------------------------------------
     code_dir = os.path.join(workdir, "code_index")
     corpus = corpus_df(spark, n_docs)
