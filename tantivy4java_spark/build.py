@@ -228,7 +228,15 @@ def _tokenize_agg_fn(field: str, tokenizer: str, limit: int):
     via pandas .str, numpy lexsort/reduceat for grouping; the only per-group
     Python is byte-buffer slicing.  Token semantics match analysis.py
     bit-for-bit (positions assigned pre-drop, >limit-byte tokens dropped)."""
-    rex = _TOK_REGEX[tokenizer]
+    lowercase = True
+    if tokenizer in _TOK_REGEX:
+        rex = _TOK_REGEX[tokenizer]
+    else:
+        from tantivy4java_spark.analysis import custom_tokenizer
+        cfg_c = custom_tokenizer(tokenizer)
+        if cfg_c is None:
+            raise ValueError(f"unknown tokenizer: {tokenizer}")
+        rex, lowercase = cfg_c["match"], cfg_c["lowercase"]
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -247,7 +255,8 @@ def _tokenize_agg_fn(field: str, tokenizer: str, limit: int):
                 continue
             flat = pd.Series(np.concatenate(
                 [np.asarray(x, dtype=object) for x in token_lists]))
-            flat = flat.str.lower()
+            if lowercase:
+                flat = flat.str.lower()
             doc_rep = np.repeat(np.arange(len(pdf)), counts)
             offsets = np.zeros(len(pdf), dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])

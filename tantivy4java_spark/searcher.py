@@ -941,6 +941,13 @@ def _coerce_typed_bound(v, dtype: str):
         return v
     if dtype == "string" and isinstance(v, (_dtm.datetime, _dtm.date)):
         return v.isoformat()
+    if dtype == "binary":
+        # BYTES fields (SchemaBuilder.java:350-363): binary fast column;
+        # hex strings are accepted as a convenience spelling
+        if isinstance(v, (bytes, bytearray, memoryview)):
+            return bytes(v)
+        if isinstance(v, str):
+            return bytes.fromhex(v)
     return v
 
 

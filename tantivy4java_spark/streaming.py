@@ -76,6 +76,58 @@ def add_documents(spark: SparkSession, config: IndexConfig, index_dir: str,
     return action
 
 
+def changes_since(spark: SparkSession, df: DataFrame, snapshot_dir: str,
+                  key_cols, content_cols=None):
+    """Source-table delta (getChangesSince analog,
+    iceberg/IcebergTableReader.java:543): rows whose (key, content-hash)
+    pair is absent from the recorded snapshot — i.e. new rows AND rows whose
+    content changed since the last index pass.
+
+    Returns (changed_df, record_snapshot) — call record_snapshot() AFTER the
+    changed rows are durably indexed, to advance the snapshot (txlog-version
+    semantics: the snapshot only moves on success).
+
+    Scale shape: the snapshot is a slim (key..., _rh) parquet table; the
+    delta is ONE anti-join shuffled on (key, hash) — no full-row comparison
+    and no driver materialization.
+    """
+    from tantivy4java_spark import fsio
+    key_cols = list(key_cols)
+    content_cols = content_cols or [c for c in df.columns
+                                    if c not in key_cols]
+    h = F.sha2(F.concat_ws(
+        "\x00", *[F.col(c).cast("string") for c in content_cols]), 256)
+    cur = df.withColumn("_rh", h)
+    if fsio.exists(spark, snapshot_dir):
+        prev = spark.read.parquet(snapshot_dir).select(*key_cols, "_rh")
+        changed = cur.join(prev, [*key_cols, "_rh"], "left_anti")
+    else:
+        changed = cur
+
+    def record_snapshot() -> None:
+        tmp = snapshot_dir.rstrip("/") + "__new"
+        cur.select(*key_cols, "_rh").write.mode("overwrite").parquet(tmp)
+        fsio.delete(spark, snapshot_dir)
+        fsio.rename(spark, tmp, snapshot_dir)
+
+    return changed.drop("_rh"), record_snapshot
+
+
+def index_changes(spark: SparkSession, config: IndexConfig, index_dir: str,
+                  df: DataFrame, snapshot_dir: str, key_cols,
+                  commit: bool = True) -> dict:
+    """Incremental source-table indexing: compute the delta vs the recorded
+    snapshot, append it as a segment, advance the snapshot.  Running it
+    twice on an unchanged table is a no-op."""
+    changed, record = changes_since(spark, df, snapshot_dir, key_cols)
+    n = changed.count()
+    if n == 0:
+        return {"action": "noop", "num_docs": 0}
+    action = add_documents(spark, config, index_dir, changed, commit=commit)
+    record()
+    return action
+
+
 class StreamingIndexWriter:
     """foreachBatch sink: every micro-batch becomes one index segment."""
 

@@ -13,14 +13,24 @@ from tantivy4java_spark.snippets import make_snippet, query_terms, snippet_df
 
 
 def test_ip_conversions():
-    assert ip_to_int("0.0.0.1") == 1
-    assert ip_to_int("10.0.0.0") == 10 * 2**24
+    # unified IPv6 space: v4 maps to ::ffff:a.b.c.d (SchemaBuilder.java:375)
+    V4 = 0xFFFF00000000
+    assert ip_to_int("0.0.0.1") == V4 + 1
+    assert ip_to_int("10.0.0.0") == V4 + 10 * 2**24
     assert ip_to_int("::ffff:192.168.1.1") == ip_to_int("192.168.1.1")
-    assert cidr_to_range("10.0.0.0/8") == (10 * 2**24, 11 * 2**24 - 1)
+    assert cidr_to_range("10.0.0.0/8") == \
+        (f"{V4 + 10 * 2**24:032x}", f"{V4 + 11 * 2**24 - 1:032x}")
     assert wildcard_to_range("192.168.*.*") == \
-        (ip_to_int("192.168.0.0"), ip_to_int("192.168.255.255"))
+        (f"{ip_to_int('192.168.0.0'):032x}", f"{ip_to_int('192.168.255.255'):032x}")
     with pytest.raises(ValueError):
         wildcard_to_range("192.*.1.1")  # non-contiguous (parse_query.rs:88-97)
+    # FULL IPv6 (no longer the v1 limitation): canonical hex32, numeric order
+    from tantivy4java_spark.iptypes import ip_to_hex
+    assert ip_to_hex("2001:db8::1") == "20010db8000000000000000000000001"
+    lo, hi = cidr_to_range("2001:db8::/32")
+    assert lo == "20010db8000000000000000000000000"
+    assert hi == "20010db8ffffffffffffffffffffffff"
+    assert lo < ip_to_hex("2001:db8::1") < hi  # lexicographic == numeric
 
 
 def test_rewrite_shapes():
@@ -32,6 +42,8 @@ def test_rewrite_shapes():
 @pytest.fixture(scope="module")
 def ip_searcher(spark, tmp_path_factory):
     rows = [(i, f"10.{i % 4}.0.{i % 250}", f"host{i}") for i in range(80)]
+    # mix in full-IPv6 docs (80..89) — same index, same fast column
+    rows += [(80 + i, f"2001:db8::{i + 1:x}", f"v6host{i}") for i in range(10)]
     df = spark.createDataFrame(rows, ["doc_id", "client_ip", "host"])
     cfg = IndexConfig(fields=[FieldConfig("client_ip", "ip"),
                               FieldConfig("host", "string")],
@@ -54,6 +66,17 @@ def test_ip_cidr(ip_searcher):
 def test_ip_wildcard(ip_searcher):
     hits = ip_searcher.score_query(Q.Term("client_ip", "10.3.*.*")).collect()
     assert sorted(r["doc_id"] for r in hits) == [i for i in range(80) if i % 4 == 3]
+
+
+def test_ipv6_exact_and_cidr(ip_searcher):
+    hits = ip_searcher.score_query(Q.Term("client_ip", "2001:db8::3")).collect()
+    assert sorted(r["doc_id"] for r in hits) == [82]
+    # v6 CIDR covers exactly the ten v6 docs, none of the v4 ones
+    hits = ip_searcher.score_query(Q.Term("client_ip", "2001:db8::/32")).collect()
+    assert sorted(r["doc_id"] for r in hits) == list(range(80, 90))
+    # and a v4 CIDR still excludes every v6 doc
+    hits = ip_searcher.score_query(Q.Term("client_ip", "10.0.0.0/8")).collect()
+    assert all(d < 80 for d in (r["doc_id"] for r in hits)) and hits
 
 
 def test_snippet_basic():
