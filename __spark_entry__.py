@@ -247,6 +247,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.search(q, limit=10).select(
             "doc_id", F.round("score", 6).alias("score"))
     q["q23_mlt"] = _q23
+    # sort-by-field + offset (R2 — parity-plus: the reference exposes but
+    # its native layer ignores these params; ours implements them)
+    def _q25(sp, sf):
+        s = _searcher(sp, sf)
+        hits = s.search(Q.Term("text", "merge"), limit=10,
+                        order_by_field="n_chars", ascending=False, offset=5)
+        return hits.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
+    q["q25_sort_offset"] = _q25
     # JSON dot-path queries (Q11) over the events.props JSON column
     q["q20_json_term"] = lambda sp, sf: (
         _events_searcher(sp, sf).score_query(Q.Term("props.k", 87))
@@ -487,6 +495,12 @@ scored AS (SELECT h.doc_id,
   WHERE q.doc_id = h.doc_id GROUP BY h.doc_id)
 SELECT doc_id, round(raw, 6) AS score FROM scored
 ORDER BY raw DESC, doc_id ASC LIMIT 10"""
+
+    o["q25_sort_offset"] = f"""
+WITH toks AS (SELECT doc_id, n_chars, {_TOKS} t FROM documents),
+m AS (SELECT doc_id, n_chars FROM toks WHERE list_contains(t, 'merge'))
+SELECT doc_id, n_chars::BIGINT AS n_chars FROM m
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 5"""
 
     o["q17_matchall_count"] = "SELECT count(*) AS n FROM documents"
     o["q18_exists"] = "SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL"
