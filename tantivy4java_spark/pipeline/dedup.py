@@ -105,14 +105,25 @@ def minhash_dedup_pairs(df: DataFrame, col: str, id_col: str,
 
 
 def ngram_jaccard_pairs(df: DataFrame, col: str, id_col: str, k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_shingle_df: Optional[int] = None) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via an inverted shingle join
     (|A∩B| per pair from one groupBy, sizes joined back) — never a cross
-    join; the shuffle key is the shingle, mega-shingles are the only skew
-    and can be dropped as stopword-shingles upstream."""
+    join; the shuffle key is the shingle.
+
+    ``max_shingle_df``: drop shingles occurring in more than this many docs
+    BEFORE the pair join — the stopword-shingle cap that prevents the
+    quadratic candidate blowup at corpus scale.  The intersection count then
+    undercounts pairs that share only dropped shingles, so results become a
+    high-precision LOWER bound on Jaccard (duplicates at sane thresholds
+    share plenty of rare shingles); None = exact."""
     sh = (df.select(F.col(id_col).alias("_id"),
                     F.explode(shingles_col(F.col(col), k)).alias("sh")))
     sizes = sh.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    if max_shingle_df is not None:
+        rare = (sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_shingle_df).select("sh"))
+        sh = sh.join(rare, "sh")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (a.join(b, "sh").filter(F.col("a._id") < F.col("b._id"))

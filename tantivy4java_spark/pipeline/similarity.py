@@ -125,6 +125,49 @@ def knn_join(left: DataFrame, right: DataFrame, vec_col: str,
                     "cosine", F.col("_rn").cast("long").alias("rank")))
 
 
+def knn_join_lsh(left: DataFrame, right: DataFrame, vec_col: str,
+                 left_id: str, right_id: str, k: int = 5, nbits: int = 8,
+                 multiprobe: int = 1, seed: int = 42) -> DataFrame:
+    """Approximate LARGE-by-LARGE k-NN join — the scale path when neither
+    side fits a broadcast.
+
+    Both sides bucket with the same deterministic hyperplane LSH; each left
+    row probes its own bucket plus every `multiprobe`-bit flip; candidates
+    re-rank by exact cosine, per-left top-k.  The only shuffle key is the
+    bucket id (uniform by construction) — never a cross join.  Recall grows
+    with multiprobe; identical vectors are always recalled (same bucket).
+    """
+    from pyspark.sql.window import Window
+    dim_row = left.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not dim_row:
+        return knn_join(left, right, vec_col, left_id, right_id, k)
+    dim = int(dim_row[0]["d"])
+    bucket = hyperplane_bucket_udf(dim, nbits, seed)
+    flips = [0]
+    if multiprobe >= 1:
+        flips += [1 << j for j in range(nbits)]
+    l = (left.select(F.col(left_id).alias("_lid"),
+                     F.col(vec_col).alias("_lv"))
+         .withColumn("_b0", bucket(F.col("_lv")))
+         .withColumn("_b", F.explode(F.array(
+             *[F.col("_b0").bitwiseXOR(F.lit(f)) for f in flips])))
+         .drop("_b0"))
+    r = (right.select(F.col(right_id).alias("_rid"),
+                      F.col(vec_col).alias("_rv"))
+         .withColumn("_b", bucket(F.col("_rv"))))
+    cand = (l.join(r, "_b")
+            .dropDuplicates(["_lid", "_rid"]))
+    cos = cosine_expr(
+        F.transform("_lv", lambda x: x.cast("double")),
+        F.transform("_rv", lambda x: x.cast("double")))
+    w = Window.partitionBy("_lid").orderBy(F.desc("cosine"), F.asc("_rid"))
+    return (cand.withColumn("cosine", F.round(cos, 6))
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= k)
+            .select(F.col("_lid").alias(left_id), F.col("_rid").alias(right_id),
+                    "cosine", F.col("_rn").cast("long").alias("rank")))
+
+
 def ivf_topk(spark: SparkSession, df: DataFrame, vec_col: str, id_col: str,
              query_vec: Sequence[float], k: int = 10, n_centroids: int = 16,
              nprobe: int = 4, iters: int = 3, seed: int = 42) -> DataFrame:

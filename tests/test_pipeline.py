@@ -192,3 +192,47 @@ def test_embedding_neardup_selfdup(spark, emb):
     pairs = D.embedding_neardup_pairs(df, "embedding", "vec_id",
                                       threshold=0.999).collect()
     assert any(r["id_a"] == 0 and r["id_b"] == 77777 for r in pairs)
+
+
+def test_knn_join_lsh_large_by_large(spark, emb):
+    """Bucketed kNN join: self-match always recalled; no cross join in the
+    plan; reasonable recall@3 vs the exact join."""
+    from tantivy4java_spark.pipeline.similarity import knn_join, knn_join_lsh
+    left = emb.select(F.col("vec_id").alias("qid"), "embedding").filter("qid < 30")
+    approx = knn_join_lsh(left, emb, "embedding", "qid", "vec_id",
+                          k=3, nbits=4, multiprobe=1)
+    plan = approx._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    rows = approx.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["qid"], []).append((r["rank"], r["vec_id"]))
+    # rank 1 is always the query vector itself (identical vector, same bucket)
+    for qid, hits in by_q.items():
+        assert min(hits)[1] == qid
+    exact = knn_join(left, emb, "embedding", "qid", "vec_id", k=3).collect()
+    exact_set = {(r["qid"], r["vec_id"]) for r in exact}
+    approx_set = {(r["qid"], r["vec_id"]) for r in rows}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.4  # 4-bit buckets + 1-bit probes on random vectors
+
+
+def test_ngram_jaccard_shingle_df_cap(spark):
+    """The stopword-shingle cap keeps true near-dups and drops the
+    quadratic common-shingle candidates."""
+    import tantivy4java_spark.pipeline.dedup as DD
+    common = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, common) for i in range(10)]           # identical docs
+    rows += [(100, "totally unique text alpha beta gamma delta epsilon zeta"),
+             (101, "totally unique text alpha beta gamma delta epsilon eta")]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    exact = DD.ngram_jaccard_pairs(df, "text", "id", k=3, threshold=0.5)
+    capped = DD.ngram_jaccard_pairs(df, "text", "id", k=3, threshold=0.5,
+                                    max_shingle_df=5)
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in exact.collect()}
+    capped_pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    # the rare-shingle near-dup pair survives the cap
+    assert (100, 101) in capped_pairs
+    # the 45 identical-common-doc pairs are dropped by the cap (df=10 > 5)
+    assert all(a >= 100 for a, b in capped_pairs)
+    assert (100, 101) in exact_pairs and len(exact_pairs) == 45 + 1
