@@ -418,16 +418,24 @@ class IndexSearcher:
         dist = int(q.distance)
         osa = bool(q.transposition_cost_one)
 
-        @F.pandas_udf(T.BooleanType())
-        def within(terms: pd.Series) -> pd.Series:
-            return terms.map(lambda t: _edit_distance(text, t, dist, osa) <= dist)
-
         cand = self.terms().filter(F.col("field") == q.field)
-        # cheap length prefilter stays JVM-side before the UDF
+        # cheap length prefilter stays JVM-side before the distance check
         cand = cand.filter(F.abs(F.length("term") - F.lit(len(text))) <= F.lit(dist))
         if q.prefix:
             cand = cand.filter(F.col("term").startswith(text[:1]))
-        expanded = cand.filter(within(F.col("term"))).select("term").collect()
+        if not osa:
+            # classic Levenshtein: Spark's built-in (bounded) edit distance
+            # keeps the whole expansion inside codegen — no Python UDF
+            cand = cand.filter(
+                F.levenshtein(F.lit(text), F.col("term"), dist) >= 0)
+        else:
+            # OSA (transposition cost 1) has no Spark built-in; Arrow UDF
+            @F.pandas_udf(T.BooleanType())
+            def within(terms: pd.Series) -> pd.Series:
+                return terms.map(
+                    lambda t: _edit_distance(text, t, dist, True) <= dist)
+            cand = cand.filter(within(F.col("term")))
+        expanded = cand.select("term").collect()
         pairs = [(q.field, r["term"]) for r in expanded]
         if not pairs:
             return self._empty_scored()
