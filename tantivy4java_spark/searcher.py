@@ -313,7 +313,13 @@ class IndexSearcher:
                            .mapInPandas(_decode_blocks, _DECODED_SCHEMA))
                 return (decoded.select("doc_id").distinct()
                         .select("doc_id", F.lit(1.0).alias("score")))
-            return (self.docs().filter(F.col(q.field).isNotNull())
+            docs = self.docs()
+            if q.field not in docs.columns and f"len_{q.field}" in docs.columns:
+                # tokenized fields keep only len_/norm_ in the doc store:
+                # exists == the field produced at least one token
+                return (docs.filter(F.col(f"len_{q.field}") > 0)
+                        .select("doc_id", F.lit(1.0).alias("score")))
+            return (docs.filter(F.col(q.field).isNotNull())
                     .select("doc_id", F.lit(1.0).alias("score")))
         if isinstance(q, Q.Boost):
             child = self._score(q.child)

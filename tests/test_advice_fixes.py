@@ -166,3 +166,17 @@ def test_msm_enforced_with_must(spark, corpus_pdf, built):
                            Q.Term("content", "shuffle"),
                            Q.Term("content", "partition")])
     assert s.score_query(q).count() < s.score_query(q0).count()
+
+
+def test_exists_on_tokenized_text_field(spark, tmp_path):
+    """existsQuery on a TEXT field works via the len_ doc-store column."""
+    import pandas as pd
+    from tantivy4java_spark.build import build_index
+    rows = pd.DataFrame({"doc_id": [0, 1, 2],
+                         "body": ["hello world", None, "  "]})
+    cfg = IndexConfig(fields=[FieldConfig("body", "text")], id_cols=["doc_id"])
+    idx = str(tmp_path / "exidx")
+    build_index(spark, spark.createDataFrame(rows), cfg, idx,
+                doc_id_col="doc_id")
+    s = IndexSearcher(spark, idx)
+    assert [r["doc_id"] for r in s.score_query(Q.Exists("body")).collect()] == [0]
