@@ -204,13 +204,21 @@ def _json_agg_fn(field: str, tokenizer: str, limit: int):
 
 def json_query_token(value) -> str:
     """Typed query value -> the token the JSON indexer produced."""
+    toks = json_query_tokens(value)
+    return toks[0] if toks else ""
+
+
+def json_query_tokens(value) -> list:
+    """Typed query value -> ALL tokens the JSON indexer produced for it.
+    A multi-token string value ('user_0' -> ['user', '0']) must match as an
+    intersection under the path, mirroring the reference parser's full-text
+    lowering of json term values."""
     if isinstance(value, bool):
-        return "true" if value else "false"
+        return ["true" if value else "false"]
     if isinstance(value, (int, float)):
-        return _json_num_token(value)
+        return [_json_num_token(value)]
     from tantivy4java_spark.analysis import tokenize_text
-    toks = tokenize_text(str(value), "default")
-    return toks[0][0] if toks else ""
+    return [t for t, _ in tokenize_text(str(value), "default")]
 
 
 def _json_num_token(v) -> str:

@@ -338,17 +338,26 @@ class IndexSearcher:
                     shards: Optional[Sequence[int]] = None) -> DataFrame:
         jb = self._json_base(q.field)
         if jb is not None:  # jsonTermQuery (Q11): term key = path\x00token
-            from tantivy4java_spark.build import JSON_PATH_SEP, json_query_token
+            from tantivy4java_spark.build import JSON_PATH_SEP, json_query_tokens
             base, path = jb
-            tok = json_query_token(q.value)
-            if not tok:
+            toks = json_query_tokens(q.value)
+            if not toks:
                 return self._empty_scored()
-            term = f"{path}{JSON_PATH_SEP}{tok}"
-            idf_map = self._idf_map([(base, term)])
-            if not idf_map:
-                return self._empty_scored()
-            decoded = self._decoded_postings([(base, term)], shards)
-            return self._score_decoded(decoded, idf_map).select("doc_id", "score")
+            terms = [f"{path}{JSON_PATH_SEP}{t}" for t in dict.fromkeys(toks)]
+            idf_map = self._idf_map([(base, t) for t in terms])
+            if len(idf_map) < len(terms):
+                return self._empty_scored()  # any missing token -> no match
+            decoded = self._decoded_postings(list(idf_map.keys()), shards)
+            scored = self._score_decoded(decoded, idf_map)
+            if len(terms) == 1:
+                return scored.select("doc_id", "score")
+            # multi-token value: ALL tokens must appear under the path
+            # (full-text AND lowering of json term values)
+            return (scored.groupBy("doc_id")
+                    .agg(F.sum("score").alias("score"),
+                         F.countDistinct("term").alias("_n"))
+                    .filter(F.col("_n") == len(terms))
+                    .select("doc_id", "score"))
         fm = self._field_meta(q.field)
         if fm.get("type") == "ip":
             # CIDR / wildcard / exact IP -> numeric range rewrite (§4 O5,
@@ -813,6 +822,10 @@ class IndexSearcher:
                        k: int) -> DataFrame:
         idf_map = self._idf_map(pairs)
         if not idf_map:
+            return self._empty_scored()
+        if mode == "and" and len(idf_map) < len(set(pairs)):
+            # a MUST term with df=0 empties the whole intersection — it must
+            # NOT silently drop out of the AND
             return self._empty_scored()
         pairs = list(idf_map.keys())
         fields = sorted({f for f, _ in pairs})
