@@ -38,7 +38,7 @@ _TOKEN_RE = re.compile(
   | (?P<rparen>\))
   | (?P<range>[\[{][^\]}]*?\sTO\s[^\]}]*?[\]}])
   | (?P<phrase>"(?:[^"\\]|\\.)*"(?:~\d+)?)
-  | (?P<regexv>/(?:[^/\\]|\\.)+/)
+  | (?P<regexv>/(?:[^/\\]|\\.)+/i?)
   | (?P<plus>\+)
   | (?P<minus>-)
   | (?P<colon>:)
@@ -238,6 +238,10 @@ class _Parser:
         if t.kind == "range":
             return self._range(field, t.text)
         if t.kind == "regexv":
+            # `/pattern/i` = case-insensitive flag (reference accepts it,
+            # RegexQuerySplitTest.java:107); lowered as an inline (?i) group
+            if t.text.endswith("/i"):
+                return Q.Regex(field, "(?i)" + t.text[1:-2])
             return Q.Regex(field, t.text[1:-1])
         if t.kind == "term":
             return self._term_like(field, t.text)

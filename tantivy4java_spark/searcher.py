@@ -408,8 +408,12 @@ class IndexSearcher:
 
     def _score_regex(self, q) -> DataFrame:
         pattern = q.pattern if isinstance(q, Q.Regex) else Q.wildcard_to_regex(q.pattern)
+        flags = ""
+        if pattern.startswith("(?i)"):  # global flags must stay at position 0
+            flags, pattern = "(?i)", pattern[4:]
         if isinstance(q, Q.Regex) and not pattern.startswith("^"):
             pattern = "^(?:" + pattern + ")$"  # term-anchored like tantivy RegexQuery
+        pattern = flags + pattern
         expanded = (self.terms()
                     .filter((F.col("field") == q.field) & F.col("term").rlike(pattern))
                     .select("term").limit(self.MAX_TERM_EXPANSIONS + 1).collect())

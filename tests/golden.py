@@ -137,9 +137,12 @@ class GoldenIndex:
         if isinstance(q, (Q.Regex, Q.Wildcard)):
             import re
             pat = q.pattern if isinstance(q, Q.Regex) else Q.wildcard_to_regex(q.pattern)
+            flags = ""
+            if pat.startswith("(?i)"):
+                flags, pat = "(?i)", pat[4:]
             if not pat.startswith("^"):
                 pat = "^(?:" + pat + ")$"
-            rex = re.compile(pat)
+            rex = re.compile(flags + pat)
             docs = set()
             for t, plist in self.postings.get(q.field, {}).items():
                 if rex.match(t):

@@ -145,3 +145,30 @@ def test_reference_json_queries(ref_env):
         q = parse_query(qs, ["content"])
         got = {r["doc_id"] for r in s.score_query(q).collect()}
         assert got == want, f"mismatch for {qs!r}"
+
+
+def test_regex_case_insensitive_flag(ref_env, spark, tmp_path):
+    """`/pattern/i` parses (RegexQuerySplitTest.java:107) and matches
+    case-insensitively on a raw (case-preserving) keyword field."""
+    s, golden, _ = ref_env
+    q = parse_query("content:/\\bmachine\\b/i", ["content"])
+    assert isinstance(q, Q.Regex) and q.pattern.startswith("(?i)")
+    got = {r["doc_id"] for r in s.score_query(q).collect()}
+    plain = {r["doc_id"] for r in
+             s.score_query(parse_query("content:/machine/", ["content"])).collect()}
+    assert got == plain  # text terms are lowercased; flag is a no-op here
+    # where it matters: a case-preserving STRING field
+    pdf = pd.DataFrame({"doc_id": [0, 1, 2],
+                        "tag": ["Machine", "machine", "other"],
+                        "body": ["x", "y", "z"]})
+    cfg = IndexConfig(fields=[FieldConfig("body", "text"),
+                              FieldConfig("tag", "string")],
+                      id_cols=["doc_id", "tag"])
+    idx = str(tmp_path / "ci")
+    build_index(spark, spark.createDataFrame(pdf), cfg, idx, doc_id_col="doc_id")
+    s2 = IndexSearcher(spark, idx)
+    ci = {r["doc_id"] for r in
+          s2.score_query(parse_query("tag:/machine/i", ["body"])).collect()}
+    cs = {r["doc_id"] for r in
+          s2.score_query(parse_query("tag:/machine/", ["body"])).collect()}
+    assert ci == {0, 1} and cs == {1}
