@@ -608,6 +608,11 @@ class IndexSearcher:
             out = base_must
         elif should_scored is not None:
             out = should_scored
+        elif must_not:
+            # pure-negative boolean: quickwit injects an implicit AllQuery
+            # positive clause, so `NOT foo` matches every non-excluded doc
+            # at constant score 1.0
+            out = self.docs().select("doc_id", F.lit(1.0).alias("score"))
         else:
             return self._empty_scored()
 

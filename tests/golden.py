@@ -186,12 +186,17 @@ class GoldenIndex:
                     for d in s:
                         counts[d] += 1
                 docs &= {d for d, c in counts.items() if c >= msm}
-        else:
+        elif should:
             counts = defaultdict(int)
             for s in should:
                 for d in s:
                     counts[d] += 1
             docs = {d for d, c in counts.items() if c >= max(msm, 1)}
+        elif q.must_not:
+            # pure-negative: implicit AllQuery positive clause (quickwit)
+            return {int(d): 1.0 for d in self.doc_ids if int(d) not in nots}
+        else:
+            docs = set()
         out = {}
         for d in docs:
             if d in nots:

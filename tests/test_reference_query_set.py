@@ -172,3 +172,20 @@ def test_regex_case_insensitive_flag(ref_env, spark, tmp_path):
     cs = {r["doc_id"] for r in
           s2.score_query(parse_query("tag:/machine/", ["body"])).collect()}
     assert ci == {0, 1} and cs == {1}
+
+
+def test_pure_negative_boolean(ref_env):
+    """`NOT foo` / `-field:v` alone matches all non-excluded docs (quickwit
+    injects an implicit AllQuery positive clause)."""
+    s, golden, pdf = ref_env
+    for qs in ("NOT content:fox", "-category:sports"):
+        q = parse_query(qs, ["content"])
+        got = {r["doc_id"] for r in s.score_query(q).collect()}
+        want = {d for d, _ in golden.score(q).items()}
+        assert got == want and got, f"mismatch for {qs!r}"
+    # everything minus fox == complement
+    fox = {r["doc_id"] for r in
+           s.score_query(parse_query("content:fox", ["content"])).collect()}
+    notfox = {r["doc_id"] for r in
+              s.score_query(parse_query("NOT content:fox", ["content"])).collect()}
+    assert notfox == set(range(N)) - fox
