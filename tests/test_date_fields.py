@@ -102,3 +102,35 @@ def test_date_shaped_string_still_raw_matches(spark, tmp_path):
     s = IndexSearcher(spark, idx)
     assert [r["doc_id"] for r in
             s.score_query(Q.Term("label", "2024-01-01")).collect()] == [0]
+
+
+def test_rfc3339_parsequery_parity(spark, tmp_path):
+    """Mirrors SplitDateParseQueryTest.java:110-148: RFC3339 strings (with
+    and without Z) through parseQuery over a DATE fast field."""
+    rows = pd.DataFrame({
+        "doc_id": [0, 1, 2],
+        "timestamp": [dtm.datetime(2025, 11, 7, h) for h in (5, 6, 7)],
+        "body": ["a", "b", "c"],
+    })
+    cfg = IndexConfig(fields=[FieldConfig("body", "text"),
+                              FieldConfig("timestamp", "date", fast=True)],
+                      id_cols=["doc_id"])
+    idx = str(tmp_path / "rfc")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    build_index(spark, spark.createDataFrame(rows), cfg, idx,
+                doc_id_col="doc_id")
+    s = IndexSearcher(spark, idx)
+
+    def hits(qs):
+        return sorted(r["doc_id"] for r in
+                      s.score_query(parse_query(qs, ["body"])).collect())
+
+    # equality via 1-second half-open range, Z suffix (expected 1 hit)
+    assert hits("timestamp:[2025-11-07T05:00:00Z TO 2025-11-07T05:00:01Z}") == [0]
+    # range spanning hours (expected: the 06:00 doc only)
+    assert hits("timestamp:[2025-11-07T05:30:00Z TO 2025-11-07T06:30:00Z]") == [1]
+    # open-ended (expected 2: 06:00 and 07:00)
+    assert hits("timestamp:[2025-11-07T06:00:00Z TO *]") == [1, 2]
+    # WITHOUT the Z suffix (naive form) — same results
+    assert hits("timestamp:[2025-11-07T05:00:00 TO 2025-11-07T05:00:01}") == [0]
+    assert hits("timestamp:[2025-11-07T06:00:00 TO *]") == [1, 2]
