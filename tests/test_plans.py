@@ -57,3 +57,29 @@ def test_shard_filter_pushed_when_pruning(searcher):
     # the PushedFilters list is display-truncated; IsNotNull(shard) proves
     # the shard predicate reached the scan's pushdown set
     assert "IsNotNull(shard)" in plan
+
+
+def test_terms_lookup_pushdown_on_sharded_dictionary(searcher):
+    """Term-df lookups against the range-sharded terms dir must push the
+    (field, term) predicates to the scan (file/row-group pruning via the
+    sorted range files' min/max stats)."""
+    from pyspark.sql import functions as F
+    df = (searcher.terms()
+          .filter((F.col("field") == "content") & (F.col("term") == "import"))
+          .select("df"))
+    plan = _plan(df)
+    assert "EqualTo(field,content)" in plan
+    assert "EqualTo(term,import)" in plan
+
+
+def test_fuzzy_classic_levenshtein_stays_jvm(searcher):
+    """transposition_cost_one=False keeps the expansion in codegen: no
+    Python-UDF eval node in the terms-filter plan."""
+    from pyspark.sql import functions as F
+    cand = (searcher.terms()
+            .filter(F.col("field") == "content")
+            .filter(F.abs(F.length("term") - F.lit(6)) <= 1)
+            .filter(F.levenshtein(F.lit("shufle"), F.col("term"), 1) >= 0))
+    plan = _plan(cand)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "levenshtein" in plan
