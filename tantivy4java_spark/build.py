@@ -14,11 +14,21 @@ Mirrors the reference's build lifecycle (SURVEY.md §3.3) Spark-first:
 
 Physical layout under ``index_dir``:
   docs/        doc_id, <id_cols>, content_sha256, len_<f>, norm_<f>
-  postings/    field, term, shard, block_id, first_doc, last_doc, count,
-               docs_bin, tfs_bin, norms_bin, max_tf, block_max_score
-  positions/   field, term, doc_id, positions array<int>
-  terms/       field, term, df, total_tf
-  stats.json   per-field num_docs / total_tokens / avgdl (+ global num_docs)
+  segments/seg=NNNNN/postings/   field, term, shard, block_id, first_doc,
+               last_doc, count, docs_bin, tfs_bin, norms_bin, max_tf,
+               min_norm_id, block_max_score — payloads stay here after the
+               METADATA-ONLY merge (stats.json lists the dirs); segment doc
+               ranges are disjoint and files are clustered by
+               (field, term, shard, doc_id), so the union is the merged
+               doc-ordered stream
+  blockmeta/   field, term, shard, first_doc, count, block_max_score —
+               decode-free per-block WAND bounds computed at merge from
+               (max_tf, min_norm_id) + global idf/avgdl
+  positions/   field, term, doc_id, positions array<int> (per-segment dirs,
+               listed in stats)
+  terms/       field, term, df, total_tf (range-sharded, sorted)
+  stats.json   per-field num_docs / total_tokens / avgdl (+ global num_docs,
+               postings_dirs, positions_dirs)
   _manifest/manifest.jsonl
 
 Scale notes (the design target is ~10^12 files on a multi-executor cluster):
@@ -69,6 +79,7 @@ _POSTINGS_SCHEMA = T.StructType([
     T.StructField("tfs_bin", T.BinaryType()),
     T.StructField("norms_bin", T.BinaryType()),
     T.StructField("max_tf", T.LongType()),
+    T.StructField("min_norm_id", T.LongType()),
     T.StructField("block_max_score", T.DoubleType()),
 ])
 
@@ -337,6 +348,7 @@ def _blocks_frame(pdf: pd.DataFrame, blocks: dict) -> pd.DataFrame:
         "tfs_bin": blocks["tfs_bin"],
         "norms_bin": blocks["norms_bin"],
         "max_tf": blocks["max_tf"],
+        "min_norm_id": blocks["min_norm_id"],
         "block_max_score": blocks["block_max_score"],
     })
 
@@ -391,52 +403,6 @@ def _reblock_fn(block_size: int):
             blocks = codec.encode_blocks_segmented(
                 _group_change(vpdf), vals["doc_id"], vals["tf"],
                 vals["norm_id"], block_size, None)
-            yield _blocks_frame(vpdf, blocks)
-
-    return merge
-
-
-def _decode_reencode_fn(block_size: int, norm_decode, avgdl_map,
-                        num_docs: int):
-    """Merge-phase mapInPandas: decode segment blocks per (field,term,shard)
-    (already doc-ordered across segments: segment doc ranges are disjoint and
-    rows are sorted by first_doc), concat, re-block with final
-    block_max_score.  Vectorized end to end.
-
-    Per-term global idf arrives as a pre-joined ``idf_w`` block column
-    (broadcast join against the small terms stats — the shuffle key stays
-    (field, term, SHARD) so mega-terms never serialize through one reducer,
-    per the north-rule skew requirement)."""
-
-    def merge(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
-                continue
-            counts = pdf["count"].to_numpy(dtype=np.int64)
-            vals = codec.decode_blocks_concat(
-                pdf["first_doc"].to_numpy(dtype=np.int64), counts,
-                list(pdf["docs_bin"]), list(pdf["tfs_bin"]),
-                list(pdf["norms_bin"]))
-            bov = vals["block_of_value"]
-            fields = pdf["field"].to_numpy()[bov]
-            terms = pdf["term"].to_numpy()[bov]
-            shards = pdf["shard"].to_numpy()[bov]
-            docs = vals["doc_id"]
-            tfs = vals["tf"]
-            norms = vals["norm_id"]
-            idf_w = pdf["idf_w"].to_numpy(dtype=np.float64)[bov]
-            n = docs.size
-            vpdf = pd.DataFrame({"field": fields, "term": terms, "shard": shards})
-            avgdl = vpdf["field"].map(avgdl_map).to_numpy(dtype=np.float64)
-            lens = norm_decode[norms].astype(np.float64)
-            scores = idf_w * tfs / (tfs + K1 * (1.0 - B + B * lens / avgdl))
-            schange = np.ones(n, dtype=bool)
-            if n > 1:
-                schange[1:] = ((fields[1:] != fields[:-1])
-                               | (terms[1:] != terms[:-1])
-                               | (shards[1:] != shards[:-1]))
-            blocks = codec.encode_blocks_segmented(
-                schange, docs, tfs, norms, block_size, scores)
             yield _blocks_frame(vpdf, blocks)
 
     return merge
@@ -842,11 +808,20 @@ class IndexBuilder:
                     "avgdl": (float(tot) / num_docs) if num_docs else 0.0,
                 }
 
-        # final postings with block_max_score (global idf + avgdl).
-        # ONE shuffle of the posting data, keyed (field, term, shard) so a
-        # mega-term's list splits across reducers (north-rule skew handling);
-        # the per-term idf arrives via a BROADCAST join of the tiny
-        # (field, term, df) stats — no second data shuffle.
+        # METADATA-ONLY merge of the postings (the 100TB-critical property:
+        # the commit never rewrites posting payloads).  Segment postings
+        # files stay in place — they are already clustered by
+        # (field, term, shard, doc_id) within each segment, and segment doc
+        # ranges are disjoint, so reading the dir list IS the merged,
+        # doc-ordered posting stream.  What the merge computes is the tiny
+        # `blockmeta` table: per block, a DECODE-FREE upper bound on the
+        # BM25 contribution,
+        #     bound = idf_w * max_tf / (max_tf + k1*(1-b + b*min_len/avgdl))
+        # (score is monotone increasing in tf and decreasing in len, so
+        # (max_tf, min_len) bounds every (tf, len) in the block).  WAND only
+        # needs an upper bound; the scan reads ONLY the metadata columns
+        # (parquet prunes the payload binaries), joins the broadcast idf
+        # stats, and shuffles just the blockmeta rows.
         from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
         avgdl_map = {f: s["avgdl"] for f, s in stats["fields"].items()}
         # non-text (string/keyword) fields: avgdl 1.0 (fieldnorm-free scoring)
@@ -857,15 +832,31 @@ class IndexBuilder:
             F.log(F.lit(1.0) + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
                   / (F.col("df") + F.lit(0.5))) * F.lit(K1 + 1.0),
         ).select("field", "term", "idf_w")
-        seg_postings = self.spark.read.parquet(*[os.path.join(d, "postings") for d in seg_dirs])
-        merge_fn = _decode_reencode_fn(cfg.block_size, FIELDNORM_TABLE,
-                                       avgdl_map, num_docs)
+        post_dirs = [os.path.join(d, "postings") for d in seg_dirs]
+        seg_postings = self.spark.read.parquet(*post_dirs)
+        len_arr = F.array(*[F.lit(int(x)) for x in FIELDNORM_TABLE])
+        min_len = F.element_at(len_arr,
+                               (F.col("min_norm_id") + F.lit(1)).cast("int")) \
+            .cast("double")
+        avgdl_expr = F.element_at(
+            F.create_map(*[x for f, a in avgdl_map.items()
+                           for x in (F.lit(f), F.lit(float(a)))]),
+            F.col("field"))
+        mtf = F.col("max_tf").cast("double")
+        bound = (F.col("idf_w") * mtf
+                 / (mtf + F.lit(K1) * (F.lit(1.0 - B)
+                                       + F.lit(B) * min_len / avgdl_expr)))
         (seg_postings
+         .select("field", "term", "shard", "first_doc", "count",
+                 "max_tf", "min_norm_id")
          .join(F.broadcast(idf_df), ["field", "term"])
-         .repartition(nparts, "field", "term", "shard")
+         .select("field", "term", "shard", "first_doc", "count",
+                 bound.alias("block_max_score"))
+         .repartitionByRange(max(1, nparts // 4), "field", "term")
          .sortWithinPartitions("field", "term", "shard", "first_doc")
-         .mapInPandas(merge_fn, _POSTINGS_SCHEMA)
-         .write.mode("overwrite").parquet(self._p("postings")))
+         .write.mode("overwrite").parquet(self._p("blockmeta")))
+        stats["postings_dirs"] = [
+            fsio.relpath(d, self.index_dir) for d in post_dirs]
 
         # positions stay in their segment directories (already clustered by
         # (field, term, doc_id)); the searcher reads the dir list from stats —

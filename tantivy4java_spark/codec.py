@@ -155,6 +155,11 @@ def encode_blocks_segmented(group_change: np.ndarray, docs: np.ndarray,
     norms_bin = [nbuf[s:e] for s, e in zip(bstart, bend)]
 
     max_tf = np.maximum.reduceat(tfs, bstart) if n else np.zeros(0, np.int64)
+    # per-block MIN fieldnorm id: with max_tf it yields a decode-free upper
+    # bound on the block's BM25 contribution once global idf/avgdl are known
+    # (score(tf,len) <= score(max_tf, min_len) — monotone in both args), so
+    # the final merge can compute WAND block bounds from metadata alone.
+    min_norm = np.minimum.reduceat(norms, bstart) if n else np.zeros(0, np.int64)
     if scores is not None and n:
         bmax = np.maximum.reduceat(scores, bstart)
     else:
@@ -163,7 +168,8 @@ def encode_blocks_segmented(group_change: np.ndarray, docs: np.ndarray,
         "row_index": bstart, "block_id": block_id, "first_doc": first,
         "last_doc": last, "count": counts, "docs_bin": docs_bin,
         "tfs_bin": tfs_bin, "norms_bin": norms_bin,
-        "max_tf": max_tf.astype(np.int64), "block_max_score": bmax,
+        "max_tf": max_tf.astype(np.int64),
+        "min_norm_id": min_norm.astype(np.int64), "block_max_score": bmax,
     }
 
 

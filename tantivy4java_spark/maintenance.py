@@ -166,6 +166,14 @@ def apply_deletes(spark: SparkSession, index_dir: str) -> int:
     # positions: phrase queries scan these and rely on the tombstone
     # anti-join, so they MUST be rewritten before the tombstones are dropped
     # (otherwise physically deleted docs reappear in phrase results).
+    # postings were decoded from the per-segment dirs (metadata-only-merge
+    # layout) and are being rewritten as ONE root postings/ dir with
+    # embedded block bounds — drop the dir list, the blockmeta table, and
+    # the superseded segment payloads
+    old_post_dirs = [fsio.join(index_dir, d)
+                     for d in (s._stats.get("postings_dirs") or [])]
+    stats.pop("postings_dirs", None)
+
     pos_rel_dirs = s._stats.get("positions_dirs")
     has_positions = bool(pos_rel_dirs) or \
         fsio.exists(spark, fsio.join(index_dir, "positions"))
@@ -195,6 +203,11 @@ def apply_deletes(spark: SparkSession, index_dir: str) -> int:
     for d in old_pos_dirs:
         if d.rstrip("/") != final_pos.rstrip("/"):
             fsio.delete(spark, d)
+    final_post = fsio.join(index_dir, "postings")
+    for d in old_post_dirs:
+        if d.rstrip("/") != final_post.rstrip("/"):
+            fsio.delete(spark, d)
+    fsio.delete(spark, fsio.join(index_dir, "blockmeta"))
     fsio.write_text(spark, fsio.join(index_dir, "stats.json"),
                     json.dumps(stats, indent=2, sort_keys=True))
     fsio.delete(spark, del_dir)

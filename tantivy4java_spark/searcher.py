@@ -139,7 +139,28 @@ class IndexSearcher:
         return self._frames[name]
 
     def postings(self) -> DataFrame:
+        """Posting blocks.  After a metadata-only merge the payload files
+        stay in their segment dirs (stats lists them) — segment doc ranges
+        are disjoint and each dir is clustered by (field, term, shard,
+        doc_id), so the union IS the merged doc-ordered stream."""
+        dirs = self._stats.get("postings_dirs")
+        if dirs:
+            if "postings" not in self._frames:
+                self._frames["postings"] = self.spark.read.parquet(
+                    *[fsio.join(self.index_dir, d) for d in dirs])
+            return self._frames["postings"]
         return self._table("postings")
+
+    def blockmeta(self) -> Optional[DataFrame]:
+        """Per-block WAND bounds (field, term, shard, first_doc, count,
+        block_max_score) — written by the metadata-only merge.  None on
+        legacy indexes that carry block_max_score inside the postings rows."""
+        if not hasattr(self, "_has_blockmeta"):
+            self._has_blockmeta = fsio.isdir_nonempty(
+                self.spark, fsio.join(self.index_dir, "blockmeta"))
+        if not self._has_blockmeta:
+            return None
+        return self._table("blockmeta")
 
     def terms(self) -> DataFrame:
         return self._table("terms")
@@ -245,7 +266,20 @@ class IndexSearcher:
         if min_block_max is not None:
             # block-level WAND skip: only valid when per-doc score == this
             # term's block contribution (single-term queries)
-            p = p.filter(F.col("block_max_score") >= F.lit(float(min_block_max)))
+            bm = self.blockmeta()
+            if bm is not None:
+                keep = (bm.filter(cond
+                                  & (F.col("block_max_score")
+                                     >= F.lit(float(min_block_max))))
+                        .select("field", "term", "shard", "first_doc"))
+                if shards is not None:
+                    keep = keep.filter(
+                        F.col("shard").isin([int(s) for s in shards]))
+                p = p.join(F.broadcast(keep),
+                           ["field", "term", "shard", "first_doc"])
+            else:  # legacy layout: bound rides inside the postings rows
+                p = p.filter(
+                    F.col("block_max_score") >= F.lit(float(min_block_max)))
         return p.mapInPandas(_decode_blocks, _DECODED_SCHEMA)
 
     def _score_decoded(self, decoded: DataFrame,
@@ -839,8 +873,12 @@ class IndexSearcher:
         pairs = list(idf_map.keys())
         fields = sorted({f for f, _ in pairs})
         terms = sorted({t for _, t in pairs})
+        # shard bounds come from the tiny blockmeta table when present (the
+        # metadata-only-merge layout); legacy indexes aggregate the postings
+        # rows' embedded block_max column
+        meta_table = "blockmeta" if self.blockmeta() is not None else "postings"
         local = self._local_meta(
-            "postings", [("field", "in", fields), ("term", "in", terms)],
+            meta_table, [("field", "in", fields), ("term", "in", terms)],
             ["field", "term", "shard", "count", "block_max_score"])
         if local is not None:
             agg = (local.groupby(["field", "term", "shard"], as_index=False)
@@ -849,7 +887,10 @@ class IndexSearcher:
             meta = [(r.field, r.term, int(r.shard), int(r.cnt), float(r.bmax))
                     for r in meta_rows if (r.field, r.term) in idf_map]
         else:
-            meta_rows = (self.postings()
+            src = self.blockmeta()
+            if src is None:
+                src = self.postings()
+            meta_rows = (src
                          .filter(F.col("field").isin(fields) & F.col("term").isin(terms))
                          .groupBy("field", "term", "shard")
                          .agg(F.sum("count").alias("cnt"),
@@ -936,7 +977,8 @@ class IndexSearcher:
         replaces the reference's L1/L2 cache machinery,
         split/SplitSearcher.java:1129-1196)."""
         for name in components:
-            df = self._table(name).cache()
+            df = self.postings() if name == "postings" else self._table(name)
+            df = df.cache()
             df.count()  # materialize
 
     def warmup_query(self, q: Q.Query) -> None:
