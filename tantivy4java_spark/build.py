@@ -413,7 +413,9 @@ def active_segments(actions: List[dict]) -> List[int]:
 
     A ``rollback`` action removes the segments it names from the active set
     (IndexWriter.rollback analog — uncommitted adds are discarded); a later
-    ``add`` of the same id re-activates it (resume-after-rollback)."""
+    ``add`` of the same id re-activates it (resume-after-rollback).  A
+    ``compact`` action clears the whole set (apply_deletes folded every
+    prior segment into the compacted segment added right after it)."""
     act: List[int] = []
     for a in actions:
         if a.get("action") == "add":
@@ -422,6 +424,8 @@ def active_segments(actions: List[dict]) -> List[int]:
         elif a.get("action") == "rollback":
             dropped = set(a.get("segments", []))
             act = [s for s in act if s not in dropped]
+        elif a.get("action") == "compact":
+            act = []
     return act
 
 

@@ -56,6 +56,45 @@ def delete_all(spark: SparkSession, index_dir: str) -> int:
     return delete_by_query(spark, index_dir, Q.MatchAll())
 
 
+def garbage_collect(spark: SparkSession, index_dir: str) -> list:
+    """garbageCollectFiles analog (core/IndexWriter.java:202): delete index
+    subdirectories no live reader references — temp ``*__new`` leftovers
+    from interrupted swaps, rolled-back segment dirs, and segment dirs whose
+    postings/positions are no longer listed by stats.json (e.g. superseded
+    by apply_deletes or by a later hierarchical merge level).  Active
+    segment payloads referenced by stats stay.  Returns the deleted paths.
+    """
+    from tantivy4java_spark.build import active_segments
+    stats = json.loads(fsio.read_text(spark, fsio.join(index_dir, "stats.json")))
+    referenced = set()
+    for key in ("postings_dirs", "positions_dirs"):
+        for d in stats.get(key) or []:
+            # keep the whole segment dir a referenced table lives under
+            referenced.add(d.split("/postings")[0].split("/positions")[0])
+    manifest = fsio.join(index_dir, "_manifest", "manifest.jsonl")
+    actions = [json.loads(l) for l in
+               fsio.read_text(spark, manifest).splitlines() if l.strip()] \
+        if fsio.exists(spark, manifest) else []
+    active = {f"segments/seg={sid:05d}" for sid in active_segments(actions)}
+    deleted = []
+    for name in fsio.listdir(spark, index_dir):
+        if name.endswith("__new"):
+            deleted.append(fsio.join(index_dir, name))
+    seg_root = fsio.join(index_dir, "segments")
+    if fsio.exists(spark, seg_root):
+        for name in fsio.listdir(spark, seg_root):
+            rel = f"segments/{name}"
+            if rel in referenced or rel in active:
+                continue
+            deleted.append(fsio.join(seg_root, name))
+    for path in deleted:
+        fsio.delete(spark, path)
+    if deleted:
+        _append_manifest(spark, index_dir,
+                         {"action": "gc", "removed": len(deleted)})
+    return deleted
+
+
 def rollback(spark: SparkSession, index_dir: str) -> list:
     """Discard uncommitted segment adds (IndexWriter.rollback analog,
     core/IndexWriter.java:133): every segment added since the last ``commit``
@@ -93,125 +132,96 @@ def rollback(spark: SparkSession, index_dir: str) -> list:
     return rolled
 
 
+def _config_from_meta(meta: dict):
+    """Reconstruct the IndexConfig the merge needs from the manifest's
+    metadata action (the persisted schema — SchemaBuilder round trip)."""
+    from tantivy4java_spark.schema import FieldConfig, IndexConfig
+    fields = [FieldConfig(f["name"], f.get("type", "text"),
+                          f.get("tokenizer", "default"),
+                          f.get("index_option", "position"))
+              for f in meta.get("fields", [])]
+    return IndexConfig(fields=fields,
+                       shard_bits=meta.get("shard_bits", 16),
+                       block_size=meta.get("block_size", 128))
+
+
 def apply_deletes(spark: SparkSession, index_dir: str) -> int:
-    """Physically remove tombstoned docs (merge-with-deletes, S7): rewrite
-    docs + postings without them, refresh stats, clear ``_deletes``."""
-    from tantivy4java_spark.build import _POSTINGS_SCHEMA
-    from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
-    from tantivy4java_spark.scoring import K1
+    """Physically remove tombstoned docs (merge-with-deletes, S7) by
+    COMPACTION: the live rows of every table are written as ONE new segment,
+    a ``compact`` manifest action clears the prior adds, and the normal
+    merge rebuilds the canonical root tables (terms, docs, blockmeta, stats)
+    from the compacted segment.  Incremental adds after apply_deletes keep
+    working because the manifest's active set matches what's on disk."""
+    from tantivy4java_spark.build import (_POSTINGS_SCHEMA, IndexBuilder,
+                                          _encode_blocks_fn)
     from tantivy4java_spark.searcher import IndexSearcher, _DECODED_SCHEMA, _decode_blocks
 
     del_dir = fsio.join(index_dir, "_deletes")
     if not fsio.isdir_nonempty(spark, del_dir):
         return 0
     s = IndexSearcher(spark, index_dir)
+    builder = IndexBuilder(spark, _config_from_meta(s._meta), index_dir)
     tomb = spark.read.parquet(del_dir).distinct().persist()
     n_del = tomb.count()
 
-    # docs: rewrite without tombstones
-    live_docs = s._table("docs").join(tomb, "doc_id", "left_anti")
-    tmp_docs = os.path.join(index_dir, "docs__new")
-    live_docs.write.mode("overwrite").parquet(tmp_docs)
-
-    # stats from the rewritten docs
-    docs_new = spark.read.parquet(tmp_docs)
-    len_cols = [c for c in docs_new.columns if c.startswith("len_")]
-    row = docs_new.agg(F.count(F.lit(1)).alias("_n"),
-                       *[F.sum(c).alias(c) for c in len_cols]).collect()[0]
-    num_docs = int(row["_n"])
-    stats = dict(s._stats)
-    stats["num_docs"] = num_docs
-    for c in len_cols:
-        fname = c[len("len_"):]
-        tot = int(row[c] or 0)
-        stats["fields"][fname] = {
-            "num_docs": num_docs, "total_tokens": tot,
-            "avgdl": (float(tot) / num_docs) if num_docs else 0.0}
-
-    # postings: decode -> drop tombstoned -> re-encode with refreshed stats
-    avgdl_map = {f: v["avgdl"] for f, v in stats["fields"].items()}
-    for fobj in s._meta.get("fields", []):
-        avgdl_map.setdefault(fobj["name"], 1.0)
-    decoded = s.postings().mapInPandas(_decode_blocks, _DECODED_SCHEMA)
-    live = decoded.join(tomb, "doc_id", "left_anti")
-    live = live.withColumn("shard", F.shiftright(
-        "doc_id", s._meta.get("shard_bits", 16)).cast("long"))
-    # re-derive df and idf during the encode pass via the merge fn: feed it
-    # block-shaped rows (one block per (f,t,shard) group re-encoded)
-    from tantivy4java_spark.build import _encode_blocks_fn
+    acts = builder._manifest_actions()
+    used = [a["segment"] for a in acts if a.get("action") == "add"]
+    sid = (max(used) + 1) if used else 0
+    seg_dir = builder._p("segments", f"seg={sid:05d}")
     nparts = spark.sparkContext.defaultParallelism
-    terms_new = (live.groupBy("field", "term")
-                 .agg(F.count(F.lit(1)).cast("long").alias("df"),
-                      F.sum("tf").cast("long").alias("total_tf")))
-    idf_df = terms_new.withColumn(
-        "idf_w",
-        F.log(F.lit(1.0) + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
-              / (F.col("df") + F.lit(0.5))) * F.lit(K1 + 1.0)
-    ).select("field", "term", "idf_w")
-    enc = _encode_blocks_fn(s._meta.get("block_size", 128), with_scores=True,
-                            norm_decode=FIELDNORM_TABLE, avgdl_map=avgdl_map)
-    tmp_post = os.path.join(index_dir, "postings__new")
-    (live.join(F.broadcast(idf_df), ["field", "term"])
+
+    # live docs -> compact segment
+    live_docs = s._table("docs").join(tomb, "doc_id", "left_anti")
+    live_docs.write.mode("overwrite").parquet(fsio.join(seg_dir, "docs"))
+    num_docs = spark.read.parquet(fsio.join(seg_dir, "docs")).count()
+
+    # live postings: decode -> drop tombstoned -> re-encode (segment layout,
+    # no scores — the merge recomputes blockmeta from min_norm_id/max_tf)
+    decoded = s.postings().mapInPandas(_decode_blocks, _DECODED_SCHEMA)
+    live = (decoded.join(tomb, "doc_id", "left_anti")
+            .withColumn("shard", F.shiftright(
+                "doc_id", s._meta.get("shard_bits", 16)).cast("long")))
+    enc = _encode_blocks_fn(s._meta.get("block_size", 128), with_scores=False)
+    (live.select("field", "term", "shard", "doc_id", "tf",
+                 F.col("norm_id").cast("long").alias("norm_id"))
      .repartition(nparts, "field", "term", "shard")
      .sortWithinPartitions("field", "term", "shard", "doc_id")
      .mapInPandas(enc, _POSTINGS_SCHEMA)
-     .write.mode("overwrite").parquet(tmp_post))
-    tmp_terms = os.path.join(index_dir, "terms__new")
-    # range-sharded terms dictionary (same layout as the merge writes: file
-    # min/max stats on the sorted ranges give pruned lookups at scale)
-    terms_new.repartitionByRange(max(1, nparts // 4), "field", "term") \
-        .sortWithinPartitions("field", "term") \
-        .write.mode("overwrite").parquet(tmp_terms)
+     .write.mode("overwrite").parquet(fsio.join(seg_dir, "postings")))
+    (live.groupBy("field", "term")
+     .agg(F.count(F.lit(1)).cast("long").alias("df"),
+          F.sum("tf").cast("long").alias("total_tf"))
+     .write.mode("overwrite").parquet(fsio.join(seg_dir, "termstats")))
 
-    # positions: phrase queries scan these and rely on the tombstone
-    # anti-join, so they MUST be rewritten before the tombstones are dropped
-    # (otherwise physically deleted docs reappear in phrase results).
-    # postings were decoded from the per-segment dirs (metadata-only-merge
-    # layout) and are being rewritten as ONE root postings/ dir with
-    # embedded block bounds — drop the dir list, the blockmeta table, and
-    # the superseded segment payloads
-    old_post_dirs = [fsio.join(index_dir, d)
-                     for d in (s._stats.get("postings_dirs") or [])]
-    stats.pop("postings_dirs", None)
-
-    pos_rel_dirs = s._stats.get("positions_dirs")
-    has_positions = bool(pos_rel_dirs) or \
-        fsio.exists(spark, fsio.join(index_dir, "positions"))
-    tmp_pos = fsio.join(index_dir, "positions__new")
-    old_pos_dirs = []
-    if has_positions:
-        old_pos_dirs = ([fsio.join(index_dir, d) for d in pos_rel_dirs]
-                        if pos_rel_dirs
-                        else [fsio.join(index_dir, "positions")])
+    # live positions (phrase queries must not resurrect deleted docs)
+    if s._stats.get("positions_dirs") or \
+            fsio.exists(spark, fsio.join(index_dir, "positions")):
         (s.positions().join(tomb, "doc_id", "left_anti")
          .repartition(max(1, nparts // 2), "field", "term")
          .sortWithinPartitions("field", "term", "doc_id")
-         .write.mode("overwrite").parquet(tmp_pos))
-        stats["positions_dirs"] = ["positions"]
+         .write.mode("overwrite").parquet(fsio.join(seg_dir, "positions")))
     tomb.unpersist()
 
-    # atomic-ish swap
-    swaps = [("docs", tmp_docs), ("postings", tmp_post), ("terms", tmp_terms)]
-    if has_positions:
-        swaps.append(("positions", tmp_pos))
-    for name, tmp in swaps:
-        final = fsio.join(index_dir, name)
-        fsio.delete(spark, final)
-        fsio.rename(spark, tmp, final)
-    # drop superseded per-segment positions dirs (now folded into positions/)
-    final_pos = fsio.join(index_dir, "positions")
-    for d in old_pos_dirs:
-        if d.rstrip("/") != final_pos.rstrip("/"):
-            fsio.delete(spark, d)
-    final_post = fsio.join(index_dir, "postings")
-    for d in old_post_dirs:
-        if d.rstrip("/") != final_post.rstrip("/"):
-            fsio.delete(spark, d)
-    fsio.delete(spark, fsio.join(index_dir, "blockmeta"))
-    fsio.write_text(spark, fsio.join(index_dir, "stats.json"),
-                    json.dumps(stats, indent=2, sort_keys=True))
+    # manifest: clear prior adds, register the compacted segment, re-merge
+    old_seg_names = set()
+    if fsio.exists(spark, builder._p("segments")):
+        old_seg_names = {n for n in fsio.listdir(spark, builder._p("segments"))
+                         if n != f"seg={sid:05d}"}
+    _append_manifest(spark, index_dir, {"action": "compact",
+                                        "folded": sorted(used)})
+    _append_manifest(spark, index_dir, {"action": "add", "segment": sid,
+                                        "num_docs": int(num_docs),
+                                        "compacted": True})
+    builder._append_manifest(builder._merge([sid]))
+
+    # cleanup: tombstones, legacy root postings/positions, superseded
+    # segment dirs (the fresh stats references only the compact segment)
     fsio.delete(spark, del_dir)
+    fsio.delete(spark, fsio.join(index_dir, "postings"))
+    fsio.delete(spark, fsio.join(index_dir, "positions"))
+    for name in old_seg_names:
+        fsio.delete(spark, fsio.join(index_dir, "segments", name))
     _append_manifest(spark, index_dir, {"action": "apply_deletes",
                                         "removed": int(n_del),
-                                        "num_docs": num_docs})
+                                        "num_docs": int(num_docs)})
     return int(n_del)

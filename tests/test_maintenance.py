@@ -82,3 +82,48 @@ def test_sort_by_field_and_offset(spark, built):
     paged = s.search(q, limit=5, offset=3).collect()
     assert [r["doc_id"] for r in paged] == \
         [r["doc_id"] for r in all_hits[3:8]]
+
+
+def test_add_after_apply_deletes_keeps_compacted_docs(spark, built):
+    """apply_deletes compacts into a real segment, so a LATER incremental
+    add + commit must re-merge without losing the compacted corpus."""
+    from tantivy4java_spark.corpus import generate_pandas
+    from tantivy4java_spark.streaming import add_documents
+    idx, pdf = built
+    s0 = IndexSearcher(spark, idx)
+    victim_ids = {r["doc_id"] for r in
+                  s0.score_query(Q.Term("lang", "java")).collect()}
+    victims = M.delete_by_term(spark, idx, "lang", "java")
+    assert victims == len(victim_ids) > 0
+    assert M.apply_deletes(spark, idx) == victims
+    live = 120 - victims
+    assert IndexSearcher(spark, idx).num_docs == live
+
+    extra = generate_pandas(5000, 15, min_tokens=10, max_tokens=30)
+    cfg = IndexConfig(fields=[FieldConfig("content", "text"),
+                              FieldConfig("lang", "string")],
+                      id_cols=["doc_id", "lang"], content_col="content")
+    add_documents(spark, cfg, idx, spark.createDataFrame(extra), commit=True)
+    s = IndexSearcher(spark, idx)
+    assert s.num_docs == live + 15  # compacted docs survived the re-merge
+    # the original deleted docs stay gone; old and new docs both searchable
+    assert not victim_ids & {r["doc_id"] for r in
+                             s.score_query(Q.MatchAll()).collect()}
+    assert s.score_query(Q.Term("content", "import")).count() > 0
+
+
+def test_garbage_collect(spark, built):
+    import os
+    idx, pdf = built
+    # orphan a fake temp dir + run a delete/apply cycle to supersede segments
+    os.makedirs(os.path.join(idx, "junk__new"), exist_ok=True)
+    M.delete_by_term(spark, idx, "lang", "go")
+    M.apply_deletes(spark, idx)
+    # apply_deletes already removed superseded segment dirs; GC must remove
+    # the temp leftover and keep the live compacted segment
+    removed = M.garbage_collect(spark, idx)
+    assert any(p.endswith("junk__new") for p in removed)
+    s = IndexSearcher(spark, idx)
+    n = s.num_docs
+    assert s.postings().count() > 0
+    assert IndexSearcher(spark, idx).score_query(Q.MatchAll()).count() == n
