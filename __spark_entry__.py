@@ -47,7 +47,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:4".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:5".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_docs_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -64,7 +64,7 @@ def _events_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:4".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:5".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_events_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -77,6 +77,29 @@ def _events_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
             id_cols=["event_id", "event_type", "user_id", "value"],
         )
         build_index(spark, ev, cfg, idx_dir, doc_id_col="event_id")
+    _SEARCHERS[key] = IndexSearcher(spark, idx_dir)
+    return _SEARCHERS[key]
+
+
+def _jdocs_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index with a JSON field derived from documents (jdoc.body = text):
+    exercises phrase-over-dot-path (q26) — per-path token positions in the
+    positions table (reference JsonFieldQueryTest.java, README.md:111-179)."""
+    key = "jdocs:" + os.path.abspath(sf_dir)
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    import tantivy4java_spark
+    tag = hashlib.md5(
+        f"{key}:{tantivy4java_spark.__version__}:5".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_jdocs_index_{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+        docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+        jd = docs.select(
+            "doc_id",
+            F.to_json(F.struct(F.col("text").alias("body"))).alias("jdoc"))
+        cfg = IndexConfig(fields=[FieldConfig("jdoc", "json")],
+                          id_cols=["doc_id"])
+        build_index(spark, jd, cfg, idx_dir, doc_id_col="doc_id")
     _SEARCHERS[key] = IndexSearcher(spark, idx_dir)
     return _SEARCHERS[key]
 
@@ -255,6 +278,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         order_by_field="n_chars", ascending=False, offset=5)
         return hits.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"))
     q["q25_sort_offset"] = _q25
+    # phrase over a json dot-path (positions per path — q26)
+    def _q26(sp, sf):
+        s = _jdocs_searcher(sp, sf)
+        hits = s.search(Q.Phrase("jdoc.body",
+                                 ["batch", "stream", "merge"], slop=0),
+                        limit=10)
+        return hits.select("doc_id", F.round("score", 6).alias("score"))
+    q["q26_json_phrase"] = _q26
     # JSON dot-path queries (Q11) over the events.props JSON column
     q["q20_json_term"] = lambda sp, sf: (
         _events_searcher(sp, sf).score_query(Q.Term("props.k", 87))
@@ -405,6 +436,33 @@ ph AS (SELECT f.doc_id,
   FROM ptf f, pdf d, pdf2 d2, stats s, qlens q
   WHERE q.doc_id = f.doc_id AND f.tf > 0)
 SELECT doc_id, round(raw, 6) AS score FROM ph
+ORDER BY raw DESC, doc_id ASC LIMIT 10"""
+
+    # q26: phrase over a json dot-path.  jdoc.body IS the text column (the
+    # json index stores per-path positions identical to the text stream:
+    # single string value under one path), so the oracle is the text-side
+    # positional-adjacency BM25 with three summed idfs.
+    o["q26_json_phrase"] = _base_ctes() + _term_cte("a", "batch") + \
+        _term_cte("b", "stream") + _term_cte("c", "merge") + f""",
+jp1 AS (SELECT doc_id, list_filter(range(1, len(t)+1), i -> t[i] = 'batch') ps FROM toks),
+jp2 AS (SELECT doc_id, list_filter(range(1, len(t)+1), i -> t[i] = 'stream') ps FROM toks),
+jp3 AS (SELECT doc_id, list_filter(range(1, len(t)+1), i -> t[i] = 'merge') ps FROM toks),
+jptf AS (SELECT p1.doc_id,
+          len(list_filter(p1.ps, p -> list_contains(p2.ps, p + 1)
+                                  AND list_contains(p3.ps, p + 2))) tf
+        FROM jp1 p1 JOIN jp2 p2 ON p1.doc_id = p2.doc_id
+                    JOIN jp3 p3 ON p1.doc_id = p3.doc_id),
+jdf1 AS (SELECT count(*)::DOUBLE df FROM tf_a),
+jdf2 AS (SELECT count(*)::DOUBLE df FROM tf_b),
+jdf3 AS (SELECT count(*)::DOUBLE df FROM tf_c),
+jph AS (SELECT f.doc_id,
+    ((ln(1.0 + (s.n - d1.df + 0.5) / (d1.df + 0.5)) * {_IDFW})
+     + (ln(1.0 + (s.n - d2.df + 0.5) / (d2.df + 0.5)) * {_IDFW})
+     + (ln(1.0 + (s.n - d3.df + 0.5) / (d3.df + 0.5)) * {_IDFW})) * f.tf /
+    (f.tf + {K1} * ({1.0 - B} + {B} * q.ql / s.avgdl)) raw
+  FROM jptf f, jdf1 d1, jdf2 d2, jdf3 d3, stats s, qlens q
+  WHERE q.doc_id = f.doc_id AND f.tf > 0)
+SELECT doc_id, round(raw, 6) AS score FROM jph
 ORDER BY raw DESC, doc_id ASC LIMIT 10"""
 
     o["q08_termset"] = ("SELECT doc_id, CAST(1.0 AS DOUBLE) AS score FROM documents "

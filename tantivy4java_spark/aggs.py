@@ -119,11 +119,15 @@ class MultiTerms(Agg):  # MultiTermsAggregation.java:52-74
 
 @dataclass
 class Histogram(Agg):
-    """HistogramAggregation.java — bucket key = floor((v-offset)/interval)*interval+offset."""
+    """HistogramAggregation.java — bucket key = floor((v-offset)/interval)*interval+offset.
+    hard_bounds drops buckets outside [lo, hi]; extended_bounds (with
+    min_doc_count=0) emits empty buckets across [lo, hi]."""
     field: str
     interval: float
     offset: float = 0.0
     min_doc_count: int = 0
+    hard_bounds: Optional[Tuple[float, float]] = None
+    extended_bounds: Optional[Tuple[float, float]] = None
     sub: Dict[str, Agg] = dc_field(default_factory=dict)
 
     def key_col(self) -> Column:
@@ -134,26 +138,74 @@ class Histogram(Agg):
 
 @dataclass
 class DateHistogram(Agg):
-    """DateHistogramAggregation.java:92-165 — fixed_interval buckets.
-    interval: '1d', '1h', '30m', '10s' (fixed intervals only, like tantivy)."""
+    """DateHistogramAggregation.java:92-165 — fixed_interval buckets plus the
+    parameter tail: calendar_interval ('1M','1q','1y','1w' and 'd/h/m/s'
+    units), offset ('+1h', '-30m'), time_zone (IANA name; buckets align to
+    local wall-clock, keys stay UTC instants), min_doc_count,
+    extended_bounds / hard_bounds (ISO strings or datetimes).
+
+    min_doc_count defaults to 1 (only non-empty buckets — the round-2
+    behavior); 0 emits empty buckets across the data span, widened by
+    extended_bounds."""
     field: str
-    fixed_interval: str = "1d"
+    fixed_interval: Optional[str] = "1d"
     sub: Dict[str, Agg] = dc_field(default_factory=dict)
+    calendar_interval: Optional[str] = None
+    offset: str = "0s"
+    time_zone: str = "UTC"
+    min_doc_count: int = 1
+    extended_bounds: Optional[Tuple] = None
+    hard_bounds: Optional[Tuple] = None
 
     _UNITS = {"d": 86400, "h": 3600, "m": 60, "s": 1}
+    # ES calendar units; '1M' (month) vs '1m' (minute) is case-sensitive
+    _CAL = {"1y": "year", "1q": "quarter", "1M": "month", "1w": "week",
+            "1d": "day", "1h": "hour", "1m": "minute", "1s": "second"}
 
     def seconds(self) -> int:
         import re
-        m = re.fullmatch(r"(\d+)([dhms])", self.fixed_interval)
+        m = re.fullmatch(r"(\d+)([dhms])", self.fixed_interval or "")
         if not m:
             raise ValueError(f"bad fixed_interval {self.fixed_interval}")
         return int(m.group(1)) * self._UNITS[m.group(2)]
 
+    def offset_seconds(self) -> int:
+        import re
+        m = re.fullmatch(r"([+-]?\d+)([dhms])", self.offset)
+        if not m:
+            raise ValueError(f"bad offset {self.offset}")
+        return int(m.group(1)) * self._UNITS[m.group(2)]
+
+    def trunc_unit(self) -> str:
+        if self.calendar_interval not in self._CAL:
+            raise ValueError(
+                f"bad calendar_interval {self.calendar_interval}; "
+                f"one of {sorted(self._CAL)}")
+        return self._CAL[self.calendar_interval]
+
+    def sequence_step(self) -> str:
+        """SQL interval literal matching one bucket (for empty-bucket fill)."""
+        if self.calendar_interval is not None:
+            return f"interval 1 {self.trunc_unit()}"
+        return f"interval {self.seconds()} second"
+
     def key_col(self) -> Column:
-        secs = self.seconds()
-        epoch = F.unix_timestamp(F.col(self.field))
-        return F.to_timestamp(F.from_unixtime(
-            F.floor(epoch / F.lit(secs)) * F.lit(secs)))
+        off = self.offset_seconds()
+        col = F.col(self.field)
+        # bucket in LOCAL wall-clock when a time_zone is given, then convert
+        # the bucket start back to a UTC instant (ES time_zone semantics)
+        local = col if self.time_zone == "UTC" \
+            else F.from_utc_timestamp(col, self.time_zone)
+        epoch = F.unix_timestamp(local) - F.lit(off)
+        if self.calendar_interval is not None:
+            k = F.date_trunc(self.trunc_unit(), F.timestamp_seconds(epoch))
+            k = F.timestamp_seconds(F.unix_timestamp(k) + F.lit(off))
+        else:
+            secs = self.seconds()
+            k = F.timestamp_seconds(
+                F.floor(epoch / F.lit(secs)) * F.lit(secs) + F.lit(off))
+        return k if self.time_zone == "UTC" \
+            else F.to_utc_timestamp(k, self.time_zone)
 
 
 @dataclass
@@ -174,6 +226,70 @@ class RangeAgg(Agg):
                 cond = cond & (v < F.lit(hi))
             expr = F.when(cond, F.lit(key)).otherwise(expr)
         return expr
+
+
+def _ts_lit(b) -> Column:
+    """Timestamp literal from an ISO string / datetime bound (UTC-anchored,
+    same rule as range-query bounds)."""
+    import datetime as _dtm
+    if isinstance(b, str):
+        from tantivy4java_spark.parser import parse_iso_datetime
+        dt = parse_iso_datetime(b)
+        if dt is None:
+            raise ValueError(f"not an ISO datetime bound: {b!r}")
+        b = dt
+    if isinstance(b, _dtm.datetime) and b.tzinfo is None:
+        b = b.replace(tzinfo=_dtm.timezone.utc)
+    return F.lit(b)
+
+
+def _snap_bucket_key(spark, agg: "DateHistogram", bound) -> "object":
+    """Bucket key containing `bound` — the exact key_col() logic applied to
+    the bound (so extended_bounds endpoints align with real bucket starts)."""
+    return spark.range(1).select(_ts_lit(bound).alias(agg.field)) \
+        .select(agg.key_col().alias("k")).collect()[0]["k"]
+
+
+def _fill_date_buckets(out: DataFrame, agg: "DateHistogram") -> DataFrame:
+    """min_doc_count=0: emit empty buckets across the data span (widened by
+    extended_bounds).  The span endpoints are two scalar values — collecting
+    them is O(1); the bucket keys themselves are generated via one
+    `sequence` + explode, then left-joined with the counted buckets (an
+    empty bucket keeps null metric columns, doc_count 0 — ES shape)."""
+    spark = out.sparkSession
+    row = out.agg(F.min("key").alias("lo"), F.max("key").alias("hi")) \
+        .collect()[0]
+    lo, hi = row["lo"], row["hi"]
+    if agg.extended_bounds is not None:
+        elo = _snap_bucket_key(spark, agg, agg.extended_bounds[0])
+        ehi = _snap_bucket_key(spark, agg, agg.extended_bounds[1])
+        lo = min([x for x in (lo, elo) if x is not None], default=None)
+        hi = max([x for x in (hi, ehi) if x is not None], default=None)
+    if lo is None:
+        return out
+    keys = (spark.range(1)
+            .select(F.explode(F.sequence(
+                F.lit(lo), F.lit(hi),
+                F.expr(agg.sequence_step()))).alias("key")))
+    return keys.join(out, "key", "left").na.fill({"doc_count": 0})
+
+
+def _fill_numeric_buckets(out: DataFrame, agg: "Histogram") -> DataFrame:
+    """Histogram analog of _fill_date_buckets over extended_bounds."""
+    spark = out.sparkSession
+    row = out.agg(F.min("key").alias("lo"), F.max("key").alias("hi")) \
+        .collect()[0]
+    import math as _m
+    lo_b, hi_b = agg.extended_bounds
+    def _snap(v):
+        return _m.floor((v - agg.offset) / agg.interval) * agg.interval \
+            + agg.offset
+    lo = min(x for x in [row["lo"], _snap(float(lo_b))] if x is not None)
+    hi = max(x for x in [row["hi"], _snap(float(hi_b))] if x is not None)
+    n = int(round((hi - lo) / agg.interval)) + 1
+    keys = spark.range(n).select(
+        (F.lit(lo) + F.col("id") * F.lit(agg.interval)).alias("key"))
+    return keys.join(out, "key", "left").na.fill({"doc_count": 0})
 
 
 def _sub_exprs(sub: Dict[str, Agg]) -> List[Column]:
@@ -200,14 +316,30 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
                                 *[F.asc(k) for k in keys])
                 .limit(agg.size))
     if isinstance(agg, Histogram):
-        key = agg.key_col().alias("key")
-        out = df.groupBy(key).agg(*_sub_exprs(agg.sub)).orderBy("key")
+        kc = agg.key_col()
+        if agg.hard_bounds is not None:
+            lo, hi = agg.hard_bounds
+            kc_f = agg.key_col()
+            df = df.filter((kc_f >= F.lit(float(lo)))
+                           & (kc_f <= F.lit(float(hi))))
+        out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub))
         if agg.min_doc_count > 0:
             out = out.filter(F.col("doc_count") >= agg.min_doc_count)
-        return out
+        elif agg.extended_bounds is not None:
+            out = _fill_numeric_buckets(out, agg)
+        return out.orderBy("key")
     if isinstance(agg, DateHistogram):
-        key = agg.key_col().alias("key")
-        return df.groupBy(key).agg(*_sub_exprs(agg.sub)).orderBy("key")
+        kc = agg.key_col()
+        if agg.hard_bounds is not None:
+            lo, hi = [_ts_lit(b) for b in agg.hard_bounds]
+            kc_f = agg.key_col()
+            df = df.filter((kc_f >= lo) & (kc_f <= hi))
+        out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub))
+        if agg.min_doc_count == 0:
+            out = _fill_date_buckets(out, agg)
+        elif agg.min_doc_count > 1:
+            out = out.filter(F.col("doc_count") >= agg.min_doc_count)
+        return out.orderBy("key")
     if isinstance(agg, RangeAgg):
         key = agg.key_col().alias("key")
         return (df.filter(key.isNotNull())

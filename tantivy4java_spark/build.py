@@ -154,7 +154,12 @@ def _json_agg_fn(field: str, tokenizer: str, limit: int):
     (reference: core/JsonObjectOptions.java, README.md:111-179).
 
     Each (path, value) pair becomes terms "<path>\\x00<token>": strings run
-    through the field tokenizer, numbers/bools become exact tokens.  JSON
+    through the field tokenizer, numbers/bools become exact tokens.  Token
+    POSITIONS are tracked per dot-path (JsonFieldQueryTest.java: phrase
+    queries inside json fields): tokens of one string value are consecutive;
+    separate values under the same path (array elements, repeated keys)
+    advance by 2 — the same gap the multi-value text convention uses, so a
+    phrase can never match across a value boundary at slop 0.  JSON
     parsing is per-row (stdlib C json) — documented as the one per-row step;
     everything downstream is vectorized.
     """
@@ -163,6 +168,7 @@ def _json_agg_fn(field: str, tokenizer: str, limit: int):
     rex = _re.compile(_TOK_REGEX.get(tokenizer, _TOK_REGEX["default"]))
 
     def flatten(prefix, obj, out):
+        """Append (path, [tokens-of-one-value]) groups in document order."""
         if isinstance(obj, dict):
             for k, v in obj.items():
                 flatten(f"{prefix}.{k}" if prefix else str(k), v, out)
@@ -170,16 +176,16 @@ def _json_agg_fn(field: str, tokenizer: str, limit: int):
             for v in obj:
                 flatten(prefix, v, out)
         elif isinstance(obj, bool):
-            out.append((prefix, "true" if obj else "false"))
+            out.append((prefix, ["true" if obj else "false"]))
         elif isinstance(obj, (int, float)):
-            out.append((prefix, _json_num_token(obj)))
+            out.append((prefix, [_json_num_token(obj)]))
         elif obj is None:
             pass
         else:
-            for tok in rex.findall(str(obj)):
-                tok = tok.lower()
-                if len(tok.encode("utf-8")) <= limit:
-                    out.append((prefix, tok))
+            toks = [t.lower() for t in rex.findall(str(obj))
+                    if len(t.lower().encode("utf-8")) <= limit]
+            if toks:
+                out.append((prefix, toks))
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -193,20 +199,29 @@ def _json_agg_fn(field: str, tokenizer: str, limit: int):
                     obj = raw if isinstance(raw, dict) else _json.loads(raw)
                 except (ValueError, TypeError):
                     continue
-                pairs: list = []
-                flatten("", obj, pairs)
-                if not pairs:
+                groups: list = []
+                flatten("", obj, groups)
+                if not groups:
                     continue
-                from collections import Counter
-                cnt = Counter(f"{p}{JSON_PATH_SEP}{t}" for p, t in pairs)
-                norm = int(fieldnorm_to_id([len(pairs)])[0])
-                for term, tf in cnt.items():
+                pos_map: dict = {}   # term -> [positions]
+                counters: dict = {}  # path -> next position
+                ntok = 0
+                for p, toks in groups:
+                    start = counters.get(p, 0)
+                    for j, t in enumerate(toks):
+                        pos_map.setdefault(
+                            f"{p}{JSON_PATH_SEP}{t}", []).append(start + j)
+                    counters[p] = start + len(toks) + 1  # +2 value gap
+                    ntok += len(toks)
+                norm = int(fieldnorm_to_id([ntok])[0])
+                for term, plist in pos_map.items():
                     rows["doc_id"].append(int(did))
                     rows["field"].append(field)
                     rows["term"].append(term)
-                    rows["tf"].append(tf)
+                    rows["tf"].append(len(plist))
                     rows["norm_id"].append(norm)
-                    rows["pos_bin"].append(None)
+                    rows["pos_bin"].append(codec.encode_positions(
+                        np.asarray(plist, dtype=np.int64)))
             yield pd.DataFrame(rows).astype(
                 {"doc_id": "int64", "tf": "int64", "norm_id": "int64"})
 
@@ -461,19 +476,18 @@ class IndexBuilder:
         return fsio.join(self.index_dir, *parts)
 
     @property
-    def manifest_path(self) -> str:
-        return self._p("_manifest", "manifest.jsonl")
+    def manifest_dir(self) -> str:
+        return self._p("_manifest")
 
     def _manifest_actions(self) -> List[dict]:
-        if not fsio.exists(self.spark, self.manifest_path):
-            return []
-        text = fsio.read_text(self.spark, self.manifest_path)
-        return [json.loads(line) for line in text.splitlines() if line.strip()]
+        from tantivy4java_spark import manifest
+        return manifest.read_actions(self.spark, self.index_dir)
 
     def _append_manifest(self, action: dict) -> None:
-        action = dict(action, ts=time.time())
-        fsio.append_text(self.spark, self.manifest_path,
-                         json.dumps(action, sort_keys=True) + "\n")
+        # one versioned _manifest/<n>.json per action (txlog shape,
+        # native/src/txlog/actions.rs:25-37) — multi-writer safe
+        from tantivy4java_spark import manifest
+        manifest.append_action(self.spark, self.index_dir, action)
 
     def _write_initial_manifest(self, mode: Optional[str] = None) -> None:
         """First two manifest lines: protocol + field metadata.  Streaming
@@ -607,8 +621,9 @@ class IndexBuilder:
             "shard", F.shiftright(F.col("doc_id"), cfg.shard_bits).cast("long"))
         per_doc_term = per_doc_term.persist()
 
-        # positions table (position-indexed fields only; delta-varint binary)
-        pos_fields = [fc.name for fc in cfg.text_fields if fc.has_positions]
+        # positions table (position-indexed fields only; delta-varint binary;
+        # includes json fields — per-dot-path positions for phrase-over-path)
+        pos_fields = [fc.name for fc in cfg.fields if fc.has_positions]
         if pos_fields:
             (per_doc_term
              .filter(F.col("field").isin(pos_fields))
@@ -883,8 +898,19 @@ class IndexBuilder:
         """Full build with resume: segments already in the manifest are skipped."""
         t0 = time.time()
         fsio.makedirs(self.spark, self.index_dir)
-        done = set(active_segments(self._manifest_actions()))
-        if not self._manifest_actions():
+        acts = self._manifest_actions()
+        if any(a.get("action") == "compact" for a in acts):
+            # after apply_deletes the active set is the compacted segment
+            # only; a resume here would treat 0..n-1 as pending, rebuild
+            # them from the input, and drop the compacted segment at the
+            # final merge — resurrecting deleted docs.  Incremental adds
+            # go through streaming.add_documents instead.
+            raise ValueError(
+                "build() resume is not supported on an index that has been "
+                "compacted by apply_deletes; use streaming.add_documents "
+                "for incremental appends or build into a fresh directory")
+        done = set(active_segments(acts))
+        if not acts:
             self._write_initial_manifest()
 
         if doc_id_col is None and order_cols is None:

@@ -127,6 +127,36 @@ def write_text(spark, path: str, text: str) -> None:
         out.close()
 
 
+def create_text_exclusive(spark, path: str, text: str) -> bool:
+    """Create `path` with `text` ONLY if it does not exist; returns False
+    when it already does (never overwrites).  Posix: O_CREAT|O_EXCL (atomic).
+    Scheme'd: Hadoop ``FileSystem.create(path, overwrite=false)`` — raises on
+    an existing file, which we map to False.  This is the primitive the
+    versioned manifest uses for lost-update-free concurrent appends."""
+    if not has_scheme(path):
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as fh:
+            fh.write(text)
+        return True
+    fs, jvm = _fs(spark, path)
+    p = _hpath(jvm, path)
+    try:
+        out = fs.create(p, False)
+    except Exception:
+        if fs.exists(p):
+            return False
+        raise
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    return True
+
+
 def append_text(spark, path: str, text: str) -> None:
     """Posix: true append.  Scheme'd: read-modify-write (object stores have
     no append; manifest files are small and driver-written)."""

@@ -25,9 +25,8 @@ from tantivy4java_spark import queries as Q
 
 
 def _append_manifest(spark: SparkSession, index_dir: str, action: dict) -> None:
-    path = fsio.join(index_dir, "_manifest", "manifest.jsonl")
-    fsio.append_text(spark, path,
-                     json.dumps(dict(action, ts=time.time()), sort_keys=True) + "\n")
+    from tantivy4java_spark import manifest
+    manifest.append_action(spark, index_dir, action)
 
 
 def delete_by_query(spark: SparkSession, index_dir: str, query: Q.Query) -> int:
@@ -71,10 +70,8 @@ def garbage_collect(spark: SparkSession, index_dir: str) -> list:
         for d in stats.get(key) or []:
             # keep the whole segment dir a referenced table lives under
             referenced.add(d.split("/postings")[0].split("/positions")[0])
-    manifest = fsio.join(index_dir, "_manifest", "manifest.jsonl")
-    actions = [json.loads(l) for l in
-               fsio.read_text(spark, manifest).splitlines() if l.strip()] \
-        if fsio.exists(spark, manifest) else []
+    from tantivy4java_spark import manifest
+    actions = manifest.read_actions(spark, index_dir)
     active = {f"segments/seg={sid:05d}" for sid in active_segments(actions)}
     deleted = []
     for name in fsio.listdir(spark, index_dir):
@@ -105,17 +102,11 @@ def rollback(spark: SparkSession, index_dir: str) -> list:
     Documented deviation: delete_by_query tombstones in this engine apply
     immediately (searcher-side anti-join) and are NOT transactional, so they
     are not unwound by rollback."""
-    manifest = fsio.join(index_dir, "_manifest", "manifest.jsonl")
-    if not fsio.exists(spark, manifest):
+    from tantivy4java_spark import manifest
+    actions = manifest.read_actions(spark, index_dir)
+    if not actions:
         return []
-    actions = [json.loads(line)
-               for line in fsio.read_text(spark, manifest).splitlines()
-               if line.strip()]
-    last_commit = -1
-    for i, a in enumerate(actions):
-        if a.get("action") == "commit":
-            last_commit = i
-    tail = actions[last_commit + 1:]
+    tail = actions[manifest.last_commit_index(actions) + 1:]
     already = {s for a in tail if a.get("action") == "rollback"
                for s in a.get("segments", [])}
     rolled = []
@@ -159,6 +150,17 @@ def apply_deletes(spark: SparkSession, index_dir: str) -> int:
     del_dir = fsio.join(index_dir, "_deletes")
     if not fsio.isdir_nonempty(spark, del_dir):
         return 0
+    from tantivy4java_spark import manifest as _mf
+    pending = _mf.uncommitted_adds(_mf.read_actions(spark, index_dir))
+    if pending:
+        # the compaction folds the COMMITTED searcher view (stats.json) and
+        # deletes every other segment dir — running it now would silently
+        # destroy segments added with add_documents(commit=False) since the
+        # last commit (data loss, not rollback)
+        raise ValueError(
+            f"apply_deletes would destroy uncommitted segment adds "
+            f"{pending}; commit them first (add_documents(commit=True) / "
+            f"StreamingIndexWriter.refresh()) or rollback()")
     s = IndexSearcher(spark, index_dir)
     builder = IndexBuilder(spark, _config_from_meta(s._meta), index_dir)
     tomb = spark.read.parquet(del_dir).distinct().persist()

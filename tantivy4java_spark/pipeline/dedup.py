@@ -181,11 +181,22 @@ def simhash(df: DataFrame, col: str, id_col: str,
 
 
 def simhash_dup_pairs(df: DataFrame, col: str, id_col: str,
-                      max_hamming: int = 3) -> DataFrame:
+                      max_hamming: int = 3,
+                      max_block_df: Optional[int] = 100_000) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance <= max_hamming, using the
     pigeonhole block trick (split 64 bits into max_hamming+1 blocks; a
     near-dup pair must agree exactly on >= 1 block) — the join key is the
-    block value, never a cross join."""
+    block value, never a cross join.
+
+    max_block_df caps the per-(block, value) bucket size before the pair
+    join (the SimHash analog of ``max_shingle_df``): at >=10^9 docs the
+    16-bit block values collide for non-dups (E[pairs] ~ n^2/2^16) and
+    degenerate identical signatures (e.g. empty docs -> h=0) share every
+    block, turning the join quadratic.  Buckets above the cap are dropped
+    from candidate generation — exact-duplicate signatures should be folded
+    first with an exact groupBy on the simhash value (or exact_dedup), which
+    is O(n); this operator targets NEAR duplicates.  None disables the cap.
+    """
     nblocks = max_hamming + 1
     width = 64 // nblocks
     with_h = simhash(df.select(F.col(id_col).alias("_id"), col),
@@ -199,6 +210,14 @@ def simhash_dup_pairs(df: DataFrame, col: str, id_col: str,
             for i in range(nblocks)])).alias("bb"))
     blocks = blocks.select("_id", "h", F.col("bb.blk").alias("blk"),
                            F.col("bb.bval").alias("bval"))
+    if max_block_df is not None:
+        # one extra agg on the SAME key as the pair join (no new shuffle
+        # shape); buckets past the cap never enter the quadratic join
+        keep = (blocks.groupBy("blk", "bval")
+                .agg(F.count(F.lit(1)).alias("_bdf"))
+                .filter(F.col("_bdf") <= max_block_df)
+                .select("blk", "bval"))
+        blocks = blocks.join(keep, ["blk", "bval"])
     a, b = blocks.alias("a"), blocks.alias("b")
     cand = (a.join(b, ["blk", "bval"])
             .filter(F.col("a._id") < F.col("b._id"))

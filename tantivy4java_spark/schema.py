@@ -54,7 +54,11 @@ class FieldConfig:
 
     @property
     def has_positions(self) -> bool:
-        return self.tokenized and self.index_option == INDEX_POSITION
+        # json: per-dot-path token positions when the field has the position
+        # option (reference README.md:111-179, JsonFieldQueryTest.java) —
+        # enables phraseQuery over dot-paths
+        return self.index_option == INDEX_POSITION \
+            and self.type in ("text", "json")
 
 
 @dataclass

@@ -102,15 +102,11 @@ class IndexSearcher:
         self._doc_source_id = id_col
 
     def _load_metadata(self) -> dict:
-        path = fsio.join(self.index_dir, "_manifest", "manifest.jsonl")
+        from tantivy4java_spark import manifest
         meta = {}
-        if fsio.exists(self.spark, path):
-            for line in fsio.read_text(self.spark, path).splitlines():
-                if not line.strip():
-                    continue
-                a = json.loads(line)
-                if a.get("action") == "metadata":
-                    meta = a
+        for a in manifest.read_actions(self.spark, self.index_dir):
+            if a.get("action") == "metadata":
+                meta = a
         return meta
 
     def _field_meta(self, name: str) -> dict:
@@ -488,7 +484,16 @@ class IndexSearcher:
                 return terms.map(
                     lambda t: _edit_distance(text, t, dist, True) <= dist)
             cand = cand.filter(within(F.col("term")))
-        expanded = cand.select("term").collect()
+        # same protective bound as regex/wildcard: never collect an
+        # unbounded matched-term set to the driver (a distance-2 query
+        # against a billion-term dictionary can expand arbitrarily)
+        expanded = (cand.select("term")
+                    .limit(self.MAX_TERM_EXPANSIONS + 1).collect())
+        if len(expanded) > self.MAX_TERM_EXPANSIONS:
+            raise ValueError(
+                f"fuzzy query expands past {self.MAX_TERM_EXPANSIONS} terms; "
+                f"lower the distance or add a prefix "
+                f"(FuzzyTermQuery expansion bound)")
         pairs = [(q.field, r["term"]) for r in expanded]
         if not pairs:
             return self._empty_scored()
@@ -543,26 +548,44 @@ class IndexSearcher:
 
     # -- phrase ------------------------------------------------------------------
     def _score_phrase(self, q: Q.Phrase) -> DataFrame:
-        words = [self.query_term(q.field, w) for w in q.words]
-        if any(w is None for w in words) or not words:
-            return self._empty_scored()
-        if len(words) == 1:
+        jb = self._json_base(q.field)
+        if jb is not None:
+            # phrase over a json dot-path (JsonFieldQueryTest.java,
+            # README.md:111-179): terms are "<path>\x00<token>" in the base
+            # field's positions table (per-path position streams)
+            from tantivy4java_spark.build import (JSON_PATH_SEP,
+                                                  json_query_tokens)
+            base, path = jb
+            words = []
+            for w in q.words:
+                words.extend(json_query_tokens(w))
+            if not words:
+                return self._empty_scored()
+            field = base
+            terms = [f"{path}{JSON_PATH_SEP}{w}" for w in words]
+        else:
+            words = [self.query_term(q.field, w) for w in q.words]
+            if any(w is None for w in words) or not words:
+                return self._empty_scored()
+            field = q.field
+            terms = list(words)
+        if len(terms) == 1:
             return self._score_term(Q.Term(q.field, words[0]))
-        uniq = sorted(set(words))
-        dfs = self.term_dfs([(q.field, w) for w in uniq])
-        if any(dfs[(q.field, w)] == 0 for w in uniq):
+        uniq = sorted(set(terms))
+        dfs = self.term_dfs([(field, t) for t in uniq])
+        if any(dfs[(field, t)] == 0 for t in uniq):
             return self._empty_scored()
         # ONE scan of the positions table for all phrase terms; positions
         # rows carry norm_id so no doc-store join is needed
         pos = (self.positions()
-               .filter((F.col("field") == q.field) & F.col("term").isin(uniq)))
+               .filter((F.col("field") == field) & F.col("term").isin(uniq)))
         per_doc = (pos.groupBy("doc_id")
                    .agg(F.map_from_entries(
                         F.collect_list(F.struct("term", "pos_bin"))).alias("pmap"),
                         F.first("norm_id").alias("norm_id"),
                         F.count(F.lit(1)).alias("nterms"))
                    .filter(F.col("nterms") == len(uniq)))
-        arrays = F.array(*[F.element_at(F.col("pmap"), F.lit(w)) for w in words])
+        arrays = F.array(*[F.element_at(F.col("pmap"), F.lit(t)) for t in terms])
         slop = int(q.slop)
 
         @F.pandas_udf(T.LongType())
@@ -574,8 +597,8 @@ class IndexSearcher:
                                   phrase_tf(arrays).alias("tf"))
                    .filter(F.col("tf") > 0))
         # combined idf over phrase terms as given (Lucene/tantivy: sum of idf)
-        idf_w = sum(idf_weight(dfs[(q.field, w)], self.num_docs) for w in words)
-        avgdl = self.avgdl(q.field)
+        idf_w = sum(idf_weight(dfs[(field, t)], self.num_docs) for t in terms)
+        avgdl = self.avgdl(field)
         length = _fieldnorm_len_col(F.col("norm_id"))
         tf = F.col("tf").cast("double")
         score = (F.lit(idf_w) * tf
@@ -996,16 +1019,30 @@ def _coerce_typed_bound(v, dtype: str):
         return None
     import datetime as _dtm
     if dtype.startswith("timestamp"):
+        # DATE semantics are UTC-anchored (DateMicrosecondPrecisionTest).
+        # For TIMESTAMP (with-local-tz) columns the bound MUST stay tz-aware:
+        # PySpark anchors naive datetime literals to the driver/session
+        # timezone, so a naive-UTC bound returns wrong docs on any non-UTC
+        # driver.  TIMESTAMP_NTZ columns are wall-clock values — those take
+        # the naive-UTC form instead.
+        ntz = dtype == "timestamp_ntz"
+
+        def _anchor(dt: _dtm.datetime):
+            if dt.tzinfo is None:
+                dt = dt.replace(tzinfo=_dtm.timezone.utc)
+            dt = dt.astimezone(_dtm.timezone.utc)
+            return dt.replace(tzinfo=None) if ntz else dt
+
         if isinstance(v, _dtm.datetime):
-            return v
+            return _anchor(v)
         if isinstance(v, _dtm.date):
-            return _dtm.datetime(v.year, v.month, v.day)
+            return _anchor(_dtm.datetime(v.year, v.month, v.day))
         if isinstance(v, str):
             from tantivy4java_spark.parser import parse_iso_datetime
             dt = parse_iso_datetime(v)
             if dt is None:
                 raise ValueError(f"not an ISO datetime bound: {v!r}")
-            return dt
+            return _anchor(dt)
         return v
     if dtype == "date":
         if isinstance(v, _dtm.datetime):

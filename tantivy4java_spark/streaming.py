@@ -36,7 +36,17 @@ def append_segment(builder: IndexBuilder, batch_df: DataFrame,
     """Index `batch_df` as one new segment with ids in the segment's own
     (seg_id << SEG_SHIFT) space; returns the manifest Add action.  Shared by
     the streaming sink and the batch `add_documents` path (S2/S3 analog:
-    IndexWriter.addDocument/addJson — incremental inserts become segments)."""
+    IndexWriter.addDocument/addJson — incremental inserts become segments).
+
+    If the batch already carries a ``doc_id`` column the caller owns the id
+    space (the build_index ``doc_id_col`` contract): ids are used as-is and
+    must stay unique across the whole index — appending a second internal
+    doc_id would make the column ambiguous in every downstream select."""
+    if "doc_id" in batch_df.columns:
+        # deterministic ids: no persist needed (re-evaluation is stable)
+        return builder._build_segment(
+            batch_df.withColumn("doc_id", F.col("doc_id").cast("long")),
+            seg_id)
     base = seg_id << SEG_SHIFT
     schema = T.StructType(batch_df.schema.fields
                           + [T.StructField("doc_id", T.LongType())])
@@ -52,8 +62,16 @@ def append_segment(builder: IndexBuilder, batch_df: DataFrame,
             seen += len(pdf)
             yield pdf
 
-    with_ids = batch_df.mapInPandas(add_ids, schema)
-    return builder._build_segment(with_ids, seg_id)
+    # MUST pin one evaluation: doc_id depends on the physical partition
+    # layout (TaskContext.partitionId), and _build_segment evaluates this
+    # frame for several jobs (docs table, postings, positions, stats).  An
+    # unpersisted frame can re-evaluate under a different layout, silently
+    # giving the SAME row DIFFERENT ids across tables.
+    with_ids = batch_df.mapInPandas(add_ids, schema).persist()
+    try:
+        return builder._build_segment(with_ids, seg_id)
+    finally:
+        with_ids.unpersist()
 
 
 def add_documents(spark: SparkSession, config: IndexConfig, index_dir: str,
@@ -65,6 +83,10 @@ def add_documents(spark: SparkSession, config: IndexConfig, index_dir: str,
     visible to searchers (reload-to-see-commits)."""
     builder = IndexBuilder(spark, config, index_dir)
     acts = builder._manifest_actions()
+    if not acts:
+        # fresh dir: protocol + metadata first, so the searcher gets field
+        # types/shard_bits even for an index born through incremental adds
+        builder._write_initial_manifest()
     # ids are never reused, even after rollback (opstamp-like monotonicity)
     used = [a["segment"] for a in acts if a.get("action") == "add"]
     seg_id = (max(used) + 1) if used else 0
@@ -113,19 +135,69 @@ def changes_since(spark: SparkSession, df: DataFrame, snapshot_dir: str,
     return changed.drop("_rh"), record_snapshot
 
 
+def _tombstone_prior_versions(spark: SparkSession, index_dir: str,
+                              changed: DataFrame, key_cols) -> int:
+    """Tombstone the docs whose keys appear in `changed` (they are about to
+    be re-indexed as a new segment): ONE distributed semi-join of the docs
+    table against the changed key set -> doc_ids appended to ``_deletes``.
+    No per-key driver queries — the delta can be millions of rows."""
+    from tantivy4java_spark import fsio, manifest
+    from tantivy4java_spark.searcher import IndexSearcher
+    docs_dir = fsio.join(index_dir, "docs")
+    if not fsio.isdir_nonempty(spark, docs_dir):
+        return 0  # never committed: nothing searchable to supersede
+    s = IndexSearcher(spark, index_dir)
+    docs = s._table("docs")
+    missing = [k for k in key_cols if k not in docs.columns]
+    if missing:
+        raise ValueError(
+            f"index_changes(on_update='tombstone') needs the key columns as "
+            f"fast fields in the docs table; missing {missing}. Re-build "
+            f"with those fields stored, or pass on_update='append'")
+    prior = (docs.join(changed.select(*key_cols).distinct(),
+                       list(key_cols), "left_semi")
+             .select("doc_id").distinct())
+    n = prior.count()
+    if n:
+        prior.write.mode("append").parquet(fsio.join(index_dir, "_deletes"))
+        manifest.append_action(spark, index_dir, {
+            "action": "delete", "num_docs": int(n),
+            "query": f"prior-versions-of-changed-keys{list(key_cols)}"})
+    return int(n)
+
+
 def index_changes(spark: SparkSession, config: IndexConfig, index_dir: str,
                   df: DataFrame, snapshot_dir: str, key_cols,
-                  commit: bool = True) -> dict:
+                  commit: bool = True, on_update: str = "tombstone") -> dict:
     """Incremental source-table indexing: compute the delta vs the recorded
-    snapshot, append it as a segment, advance the snapshot.  Running it
-    twice on an unchanged table is a no-op."""
+    snapshot, tombstone the superseded versions of changed keys, append the
+    delta as a segment, advance the snapshot.  Running it twice on an
+    unchanged table is a no-op.
+
+    on_update='tombstone' (default): prior versions of changed keys are
+    delete-tombstoned before the delta segment lands, so queries see exactly
+    one (the latest) version of each key — upsert semantics, matching the
+    reference's update flow (updates = delete + re-add).
+    on_update='append': round-2 behavior — the delta only appends; use for
+    genuinely append-only sources where the key never recurs."""
     changed, record = changes_since(spark, df, snapshot_dir, key_cols)
-    n = changed.count()
-    if n == 0:
-        return {"action": "noop", "num_docs": 0}
-    action = add_documents(spark, config, index_dir, changed, commit=commit)
-    record()
-    return action
+    changed = changed.persist()
+    try:
+        n = changed.count()
+        if n == 0:
+            return {"action": "noop", "num_docs": 0}
+        if on_update == "tombstone":
+            _tombstone_prior_versions(spark, index_dir, changed,
+                                      list(key_cols))
+        elif on_update != "append":
+            raise ValueError(f"on_update must be 'tombstone' or 'append', "
+                             f"got {on_update!r}")
+        action = add_documents(spark, config, index_dir, changed,
+                               commit=commit)
+        record()
+        return action
+    finally:
+        changed.unpersist()
 
 
 class StreamingIndexWriter:

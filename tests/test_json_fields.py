@@ -80,3 +80,75 @@ def test_json_bm25_scores_sane(jsearcher):
     common = jsearcher.score_query(Q.Term("data.tags", "alpha")).collect()
     assert rare and common
     assert rare[0]["score"] > common[0]["score"]
+
+
+# -- phrase over dot-paths (JsonFieldQueryTest.java; positions per path) -----
+
+@pytest.fixture(scope="module")
+def jphrase(spark, tmp_path_factory):
+    rows = [
+        (0, json.dumps({"title": "fast vector search engine",
+                        "body": {"note": "batch stream merge"}})),
+        (1, json.dumps({"title": "vector search is fast",
+                        "body": {"note": "stream batch"}})),
+        # array elements must NOT phrase-match across the boundary
+        (2, json.dumps({"title": ["fast", "vector search"],
+                        "tags": ["red green", "blue"]})),
+        (3, json.dumps({"title": "fast and vector search engine"})),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "data"])
+    cfg = IndexConfig(fields=[FieldConfig("data", "json")],
+                      id_cols=["doc_id"])
+    idx = str(tmp_path_factory.mktemp("json_phrase_idx"))
+    build_index(spark, df, cfg, idx, doc_id_col="doc_id")
+    return IndexSearcher(spark, idx)
+
+
+def _ids(searcher, q):
+    return sorted(r["doc_id"] for r in searcher.score_query(q).collect())
+
+
+def test_json_phrase_adjacent(jphrase):
+    assert _ids(jphrase, Q.Phrase("data.title", ["vector", "search"])) == \
+        [0, 1, 2, 3]
+    assert _ids(jphrase, Q.Phrase("data.title",
+                                  ["fast", "vector"])) == [0]
+
+
+def test_json_phrase_nested_path(jphrase):
+    assert _ids(jphrase, Q.Phrase("data.body.note",
+                                  ["batch", "stream"])) == [0]
+    assert _ids(jphrase, Q.Phrase("data.body.note",
+                                  ["stream", "batch"])) == [1]
+
+
+def test_json_phrase_slop(jphrase):
+    # "fast ... vector" with one word between (doc 3) needs slop >= 1.
+    # doc 2 also matches at slop 1: the array-element gap is 2 (tantivy's
+    # position-gap-2 convention), indistinguishable from one word between.
+    assert _ids(jphrase, Q.Phrase("data.title",
+                                  ["fast", "vector"], slop=1)) == [0, 2, 3]
+
+
+def test_json_phrase_not_across_array_boundary(jphrase):
+    # doc 2: title = ["fast", "vector search"] — "fast vector" spans two
+    # array elements (position gap 2) and must not match at slop 0
+    assert 2 not in _ids(jphrase, Q.Phrase("data.title",
+                                           ["fast", "vector"]))
+    # but within one element it does
+    assert 2 in _ids(jphrase, Q.Phrase("data.title",
+                                       ["vector", "search"]))
+    assert _ids(jphrase, Q.Phrase("data.tags", ["green", "blue"])) == []
+    assert _ids(jphrase, Q.Phrase("data.tags", ["red", "green"])) == [2]
+
+
+def test_json_phrase_multiword_value_string(jphrase):
+    # a phrase given as ONE string value tokenizes like the json indexer
+    assert _ids(jphrase, Q.Phrase("data.body.note",
+                                  ["batch stream"])) == [0]
+
+
+def test_json_phrase_respects_path_isolation(jphrase):
+    # "vector search" exists under title, not under body.note
+    assert _ids(jphrase, Q.Phrase("data.body.note",
+                                  ["vector", "search"])) == []

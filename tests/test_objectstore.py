@@ -55,7 +55,10 @@ def test_build_search_delete_on_scheme_root(spark, tmp_path):
     # metadata actually landed under the scheme'd root
     local = str(tmp_path / "remote_idx")
     assert os.path.exists(os.path.join(local, "stats.json"))
-    assert os.path.exists(os.path.join(local, "_manifest", "manifest.jsonl"))
+    # versioned manifest: one numbered action file per action
+    acts = [f for f in os.listdir(os.path.join(local, "_manifest"))
+            if f.endswith(".json")]
+    assert len(acts) >= 4  # protocol, metadata, adds, commit
 
     s = IndexSearcher(spark, idx)
     hits = s.search(Q.Term("content", "import"), limit=10).collect()

@@ -96,6 +96,35 @@ def test_simhash_pairs(spark):
     assert (1, 3) not in ids and (2, 3) not in ids
 
 
+def test_simhash_block_df_cap_bounds_degenerate_buckets(spark):
+    """10k identical (empty-token) docs share every pigeonhole block value;
+    without max_block_df the candidate join is ~50M pairs.  The cap must
+    keep the join EMPTY (degenerate bucket dropped) and still find genuine
+    near-dups among distinct docs."""
+    import pandas as pd
+    n = 10_000
+    pdf = pd.DataFrame({"id": range(n + 2),
+                        "text": [""] * n
+                        + ["alpha beta gamma delta epsilon zeta eta theta",
+                           "alpha beta gamma delta epsilon zeta eta iota"]})
+    df = spark.createDataFrame(pdf)
+    got = D.simhash_dup_pairs(df, "text", "id", max_hamming=16,
+                              max_block_df=100).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in got}
+    assert (n, n + 1) in ids                      # real near-dup survives
+    assert all(a >= n for a, _ in ids)            # no empty-doc pair floods
+    # cap disabled -> the degenerate pairs DO appear (sanity that the cap,
+    # not luck, bounded the run) — checked via a counting shortcut on a
+    # smaller clone so the test stays fast
+    small = spark.createDataFrame(
+        pd.DataFrame({"id": range(52),
+                      "text": [""] * 50
+                      + ["alpha beta gamma delta", "alpha beta gamma zeta"]}))
+    uncapped = D.simhash_dup_pairs(small, "text", "id", max_hamming=16,
+                                   max_block_df=None)
+    assert uncapped.filter("id_a < 50").count() == 50 * 49 // 2
+
+
 def test_brute_force_topk_vs_duckdb(emb, duck):
     qrow = duck.execute(
         "SELECT embedding FROM embeddings WHERE vec_id = 0").fetchone()

@@ -24,9 +24,8 @@ def _cfg():
 
 
 def _manifest(index_dir):
-    path = os.path.join(index_dir, "_manifest", "manifest.jsonl")
-    with open(path) as fh:
-        return [json.loads(l) for l in fh if l.strip()]
+    from tantivy4java_spark import manifest
+    return manifest.read_actions(None, index_dir)
 
 
 def test_kill_and_resume(spark, tmp_path):
