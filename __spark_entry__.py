@@ -322,6 +322,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return A.apply_agg(_events(sp, sf), A.DateHistogram("ts", "1d")) \
             .select(F.date_format("key", "yyyy-MM-dd").alias("day"), "doc_count")
     q["a04_date_histogram"] = _a04
+    # calendar_interval + time_zone tail (DateHistogramAggregation.java:92-165):
+    # month buckets aligned to America/New_York wall-clock, keys as UTC instants
+    def _a04b(sp, sf):
+        sp.conf.set("spark.sql.session.timeZone", "UTC")
+        return A.apply_agg(
+            _events(sp, sf),
+            A.DateHistogram("ts", fixed_interval=None, calendar_interval="1M",
+                            time_zone="America/New_York")) \
+            .select(F.date_format("key", "yyyy-MM-dd HH:mm").alias("key"),
+                    "doc_count")
+    q["a04b_date_histogram_calendar_tz"] = _a04b
     q["a05_range_agg"] = lambda sp, sf: A.apply_agg(
         _events(sp, sf), A.RangeAgg("value", [("low", None, 20.0),
                                               ("mid", 20.0, 60.0),
@@ -599,6 +610,16 @@ SELECT floor(value / 10.0) * 10.0 AS key, count(*) AS doc_count
 FROM events GROUP BY 1 ORDER BY 1"""
     o["a04_date_histogram"] = """
 SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
+       count(*) AS doc_count
+FROM events GROUP BY 1 ORDER BY 1"""
+    # ES time_zone semantics: truncate in NY wall-clock, key = bucket start
+    # as a UTC instant.  timezone('UTC', ts) pins the naive parquet ts to a
+    # UTC instant regardless of the DuckDB session TimeZone.
+    o["a04b_date_histogram_calendar_tz"] = """
+SELECT strftime(timezone('UTC', timezone('America/New_York',
+         date_trunc('month',
+           timezone('America/New_York', timezone('UTC', ts))))),
+         '%Y-%m-%d %H:%M') AS key,
        count(*) AS doc_count
 FROM events GROUP BY 1 ORDER BY 1"""
     o["a05_range_agg"] = """

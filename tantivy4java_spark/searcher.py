@@ -460,12 +460,34 @@ class IndexSearcher:
         return (decoded.select("doc_id").distinct()
                 .select("doc_id", F.lit(1.0).alias("score")))
 
+    def _fuzzy_expansion(self, q: Q.Fuzzy) -> List[Tuple[str, int]]:
+        """Matched dictionary terms for a fuzzy query with their edit
+        distances, bounded by MAX_TERM_EXPANSIONS.  Shared by scoring and
+        explain.  Distances are recomputed driver-side on the (already
+        capped, tiny) expansion — cheaper than shipping them through the
+        scan filter."""
+        text = self.query_term(q.field, q.text)
+        if text is None:
+            return []
+        dist = int(q.distance)
+        osa = bool(q.transposition_cost_one)
+        terms = self._fuzzy_matched_terms(q, text, dist, osa)
+        return [(t, _edit_distance(text, t, dist, osa)) for t in terms]
+
     def _score_fuzzy(self, q: Q.Fuzzy) -> DataFrame:
         text = self.query_term(q.field, q.text)
         if text is None:
             return self._empty_scored()
         dist = int(q.distance)
         osa = bool(q.transposition_cost_one)
+        terms = self._fuzzy_matched_terms(q, text, dist, osa)
+        pairs = [(q.field, t) for t in terms]
+        if not pairs:
+            return self._empty_scored()
+        return self._score_multi_term_union(pairs)
+
+    def _fuzzy_matched_terms(self, q: Q.Fuzzy, text: str, dist: int,
+                             osa: bool) -> List[str]:
 
         cand = self.terms().filter(F.col("field") == q.field)
         # cheap length prefilter stays JVM-side before the distance check
@@ -494,10 +516,7 @@ class IndexSearcher:
                 f"fuzzy query expands past {self.MAX_TERM_EXPANSIONS} terms; "
                 f"lower the distance or add a prefix "
                 f"(FuzzyTermQuery expansion bound)")
-        pairs = [(q.field, r["term"]) for r in expanded]
-        if not pairs:
-            return self._empty_scored()
-        return self._score_multi_term_union(pairs)
+        return [r["term"] for r in expanded]
 
     def _score_range(self, q: Q.Range) -> DataFrame:
         jb = self._json_base(q.field)
@@ -547,7 +566,13 @@ class IndexSearcher:
         return docs.filter(cond).select("doc_id", F.lit(1.0).alias("score"))
 
     # -- phrase ------------------------------------------------------------------
-    def _score_phrase(self, q: Q.Phrase) -> DataFrame:
+    def _phrase_components(self, q: Q.Phrase):
+        """(matched[doc_id, norm_id, tf], field, terms, idf_w) for a phrase,
+        or None when a term is missing (empty result).  Shared by scoring and
+        explain so both see identical phrase-tf semantics."""
+        return self._score_phrase(q, _components=True)
+
+    def _score_phrase(self, q: Q.Phrase, _components: bool = False) -> DataFrame:
         jb = self._json_base(q.field)
         if jb is not None:
             # phrase over a json dot-path (JsonFieldQueryTest.java,
@@ -560,21 +585,21 @@ class IndexSearcher:
             for w in q.words:
                 words.extend(json_query_tokens(w))
             if not words:
-                return self._empty_scored()
+                return None if _components else self._empty_scored()
             field = base
             terms = [f"{path}{JSON_PATH_SEP}{w}" for w in words]
         else:
             words = [self.query_term(q.field, w) for w in q.words]
             if any(w is None for w in words) or not words:
-                return self._empty_scored()
+                return None if _components else self._empty_scored()
             field = q.field
             terms = list(words)
-        if len(terms) == 1:
+        if len(terms) == 1 and not _components:
             return self._score_term(Q.Term(q.field, words[0]))
         uniq = sorted(set(terms))
         dfs = self.term_dfs([(field, t) for t in uniq])
         if any(dfs[(field, t)] == 0 for t in uniq):
-            return self._empty_scored()
+            return None if _components else self._empty_scored()
         # ONE scan of the positions table for all phrase terms; positions
         # rows carry norm_id so no doc-store join is needed
         pos = (self.positions()
@@ -598,6 +623,8 @@ class IndexSearcher:
                    .filter(F.col("tf") > 0))
         # combined idf over phrase terms as given (Lucene/tantivy: sum of idf)
         idf_w = sum(idf_weight(dfs[(field, t)], self.num_docs) for t in terms)
+        if _components:
+            return matched, field, terms, idf_w
         avgdl = self.avgdl(field)
         length = _fieldnorm_len_col(F.col("norm_id"))
         tf = F.col("tf").cast("double")
@@ -845,10 +872,25 @@ class IndexSearcher:
             out = out.offset(offset)
         return out.limit(limit)
 
+    _EXPLAIN_SCHEMA = ("kind string, field string, term string, doc_id long, "
+                       "tf long, norm_id int, quantized_len double, df long, "
+                       "num_docs double, distance int, score double")
+
     def explain(self, q: Q.Query, doc_id: int) -> DataFrame:
         """Per-term score components for one doc (Query.explain analog, Q15 —
-        the reference's native impl is a stub; ours emits real components)."""
+        the reference's native impl is a stub; ours emits real components).
+
+        kind='term' rows carry the BM25 inputs per query term.
+        kind='phrase' emits one row per phrase (term = joined words,
+        tf = phrase frequency, df = combined-idf component count is in the
+        per-word 'phrase-term' rows that follow).
+        kind='fuzzy-term' emits one row per matched dictionary term with its
+        edit distance."""
         q = Q.normalize(q)
+        if isinstance(q, Q.Phrase):
+            return self._explain_phrase(q, doc_id)
+        if isinstance(q, Q.Fuzzy):
+            return self._explain_fuzzy(q, doc_id)
         terms: List[Tuple[str, str]] = []
 
         def walk(node):
@@ -878,11 +920,61 @@ class IndexSearcher:
                                 for x in (F.lit(fld + "\x00" + trm), F.lit(d))])
         key = F.concat_ws("\x00", F.col("field"), F.col("term"))
         return scored.select(
+            F.lit("term").alias("kind"),
             "field", "term", "doc_id", "tf", "norm_id",
             _fieldnorm_len_col(F.col("norm_id")).alias("quantized_len"),
-            F.element_at(df_map, key).alias("df"),
+            F.element_at(df_map, key).cast("long").alias("df"),
             F.lit(float(self.num_docs)).alias("num_docs"),
+            F.lit(None).cast("int").alias("distance"),
             F.col("score"))
+
+    def _explain_phrase(self, q: Q.Phrase, doc_id: int) -> DataFrame:
+        comp = self._phrase_components(q)
+        if comp is None:
+            return self.spark.createDataFrame([], self._EXPLAIN_SCHEMA)
+        matched, field, terms, idf_w = comp
+        avgdl = self.avgdl(field)
+        length = _fieldnorm_len_col(F.col("norm_id"))
+        tf = F.col("tf").cast("double")
+        score = (F.lit(idf_w) * tf
+                 / (tf + F.lit(K1) * (F.lit(1.0 - B)
+                                      + F.lit(B) * length / F.lit(avgdl))))
+        phrase_row = (matched.filter(F.col("doc_id") == doc_id).select(
+            F.lit("phrase").alias("kind"),
+            F.lit(field).alias("field"),
+            F.lit(" ".join(terms)).alias("term"),
+            "doc_id", "tf", "norm_id",
+            length.alias("quantized_len"),
+            F.lit(None).cast("long").alias("df"),
+            F.lit(float(self.num_docs)).alias("num_docs"),
+            F.lit(None).cast("int").alias("distance"),
+            score.alias("score")))
+        # one component row per phrase word: its df and idf contribution
+        # (combined phrase idf = sum of these idf weights)
+        dfs = self.term_dfs([(field, t) for t in sorted(set(terms))])
+        word_rows = self.spark.createDataFrame(
+            [("phrase-term", field, t, doc_id, None, None, None,
+              int(dfs[(field, t)]), float(self.num_docs), None,
+              float(idf_weight(dfs[(field, t)], self.num_docs)))
+             for t in terms], self._EXPLAIN_SCHEMA)
+        return phrase_row.unionByName(word_rows)
+
+    def _explain_fuzzy(self, q: Q.Fuzzy, doc_id: int) -> DataFrame:
+        expansion = self._fuzzy_expansion(q)
+        if not expansion:
+            return self.spark.createDataFrame([], self._EXPLAIN_SCHEMA)
+        dist_map = dict(expansion)
+        base = self.explain(
+            Q.Boolean(should=tuple(Q.Term(q.field, t)
+                                   for t, _ in expansion)), doc_id)
+        dist_col = F.create_map(*[x for t, d in dist_map.items()
+                                  for x in (F.lit(t), F.lit(int(d)))])
+        return base.select(
+            F.lit("fuzzy-term").alias("kind"),
+            "field", "term", "doc_id", "tf", "norm_id", "quantized_len",
+            "df", "num_docs",
+            F.element_at(dist_col, F.col("term")).alias("distance"),
+            "score")
 
     def _scored_pruned(self, mode: str, pairs: List[Tuple[str, str]],
                        k: int) -> DataFrame:
@@ -1098,20 +1190,23 @@ def _phrase_freq(arrays: List[np.ndarray], slop: int) -> int:
             if anchors.size == 0:
                 return 0
         return int(anchors.size)
-    count = 0
-    for p0 in arrays[0]:
-        prev = p0
-        budget_used = 0
-        ok = True
-        for i, arr in enumerate(arrays[1:], start=1):
-            # smallest position > prev with total displacement within slop
-            cand = arr[(arr > prev) & (arr <= p0 + i + (slop - budget_used))]
-            if cand.size == 0:
-                ok = False
-                break
-            nxt = int(cand.min())
-            budget_used = nxt - p0 - i
-            prev = nxt
-        if ok:
-            count += 1
-    return count
+    # slop>0: all anchors advance together, one searchsorted per phrase term
+    # (positions are sorted: codec.decode_positions is a cumsum of gaps).
+    # Greedy minimal-next is optimal here: any larger candidate only uses
+    # more budget, so if the smallest position > prev violates the bound no
+    # candidate satisfies it.
+    p0 = arrays[0].astype(np.int64)
+    prev = p0.copy()
+    budget_used = np.zeros_like(p0)
+    alive = np.ones(p0.shape, dtype=bool)
+    for i, arr in enumerate(arrays[1:], start=1):
+        idx = np.searchsorted(arr, prev + 1, side="left")
+        has = idx < arr.size
+        nxt = arr[np.minimum(idx, arr.size - 1)]
+        step_ok = has & (nxt <= p0 + i + (slop - budget_used))
+        alive &= step_ok
+        if not alive.any():
+            return 0
+        budget_used = np.where(step_ok, nxt - p0 - i, budget_used)
+        prev = np.where(step_ok, nxt, prev)
+    return int(np.count_nonzero(alive))

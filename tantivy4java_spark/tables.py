@@ -1,0 +1,180 @@
+"""Cloud-table readers: Iceberg / Delta / parquet sources for index builds
+and snapshot-diff incremental indexing.
+
+Reference analog: `iceberg/IcebergTableReader.java:111-543` (snapshot
+listing + `getChangesSince` at :543) and `delta/DeltaTableReader.java` /
+`docs/DISTRIBUTED_TABLE_SCANNER_GUIDE.md:26-100` — the reference ships full
+table readers whose job is (a) scan the current snapshot and (b) enumerate
+rows added/changed since a known snapshot so the index can catch up
+incrementally.
+
+Spark-first translation: Spark already HAS the table readers
+(`iceberg-spark-runtime`, `delta-spark`); what this module adds is the thin
+snapshot bookkeeping the incremental-indexing loop needs:
+
+  current_snapshot(spark, ref)       -> opaque snapshot/version id
+  changes_between(spark, ref, from_) -> DataFrame of rows appended/changed
+                                        since `from_` (engine-native diff)
+  index_table_changes(...)           -> read diff -> tombstone prior
+                                        versions -> append delta segment
+                                        (reuses streaming.index_changes
+                                        semantics, engine diff instead of
+                                        content-hash diff when available)
+
+All three degrade gracefully: with no Iceberg/Delta runtime on the
+classpath the constructors raise ImportError-style errors, and the
+parquet TableRef path uses the content-hash diff from
+`streaming.changes_since` (works everywhere, costs one scan).
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import dataclass
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from tantivy4java_spark import fsio
+from tantivy4java_spark.schema import IndexConfig
+
+
+@dataclass(frozen=True)
+class TableRef:
+    """A source table: `fmt` in {'parquet', 'delta', 'iceberg'};
+    `location` is a path (parquet/delta) or a catalog table name
+    (iceberg, e.g. 'local.db.events')."""
+    location: str
+    fmt: str = "parquet"
+
+
+def _require_delta(spark: SparkSession) -> None:
+    try:
+        spark._jvm.io.delta.tables.DeltaTable  # noqa: B018 probe only
+    except Exception as e:  # pragma: no cover - runtime-dependent
+        raise RuntimeError(
+            "Delta runtime not on the Spark classpath; start the session "
+            "with spark.jars.packages=io.delta:delta-spark_2.13:<ver> and "
+            "the DeltaSparkSessionExtension") from e
+
+
+def read_table(spark: SparkSession, ref: TableRef) -> DataFrame:
+    """Current-snapshot scan (IcebergTableReader.java:111 analog: the plain
+    read IS the snapshot scan — Spark's DSv2 readers handle manifest
+    pruning/column projection)."""
+    if ref.fmt == "iceberg":
+        return spark.read.table(ref.location)
+    return spark.read.format(ref.fmt).load(ref.location)
+
+
+def current_snapshot(spark: SparkSession, ref: TableRef) -> Optional[int]:
+    """Opaque snapshot id: Iceberg snapshot-id, Delta version, None for
+    parquet (no native snapshot concept — content-hash diff instead)."""
+    if ref.fmt == "iceberg":
+        row = (spark.sql(
+            f"SELECT snapshot_id FROM {ref.location}.snapshots "
+            f"ORDER BY committed_at DESC LIMIT 1").collect())
+        return int(row[0][0]) if row else None
+    if ref.fmt == "delta":
+        _require_delta(spark)
+        from delta.tables import DeltaTable
+        hist = (DeltaTable.forPath(spark, ref.location)
+                .history(1).select("version").collect())
+        return int(hist[0][0]) if hist else None
+    return None
+
+
+def changes_between(spark: SparkSession, ref: TableRef,
+                    from_snapshot: int) -> DataFrame:
+    """Rows appended/changed after `from_snapshot` (exclusive), engine-native
+    (getChangesSince analog, IcebergTableReader.java:543):
+    - iceberg: incremental append scan (start-snapshot-id exclusive)
+    - delta: Change Data Feed when enabled, else version-diff via
+      readVersionAsOf anti-join is the caller's fallback (we surface CDF
+      because it is the O(delta) path a 100-TB table needs)
+    """
+    if ref.fmt == "iceberg":
+        return (spark.read.format("iceberg")
+                .option("start-snapshot-id", str(from_snapshot))
+                .table(ref.location))
+    if ref.fmt == "delta":
+        _require_delta(spark)
+        df = (spark.read.format("delta")
+              .option("readChangeFeed", "true")
+              .option("startingVersion", int(from_snapshot) + 1)
+              .load(ref.location))
+        # CDF emits delete/update_preimage rows too; the index wants the
+        # post-image of inserts and updates
+        return (df.filter(df["_change_type"].isin("insert",
+                                                  "update_postimage"))
+                .drop("_change_type", "_commit_version", "_commit_timestamp"))
+    raise ValueError(f"no native snapshot diff for fmt={ref.fmt!r}; "
+                     f"use streaming.index_changes (content-hash diff)")
+
+
+_STATE_FILE = "_table_sync.json"
+
+
+def _read_state(spark: SparkSession, index_dir: str) -> dict:
+    p = fsio.join(index_dir, _STATE_FILE)
+    if not fsio.exists(spark, p):
+        return {}
+    return json.loads(fsio.read_text(spark, p))
+
+
+def _write_state(spark: SparkSession, index_dir: str, state: dict) -> None:
+    fsio.write_text(spark, fsio.join(index_dir, _STATE_FILE),
+                    json.dumps(state, sort_keys=True))
+
+
+def index_table_changes(spark: SparkSession, config: IndexConfig,
+                        index_dir: str, ref: TableRef,
+                        key_cols: List[str], commit: bool = True,
+                        on_update: str = "tombstone") -> dict:
+    """One catch-up step: diff the table against the last indexed snapshot,
+    tombstone superseded versions of changed keys, append the delta segment,
+    record the new snapshot id.  First call indexes the full table.
+
+    For iceberg/delta the diff is the engine's own O(delta) incremental
+    read; for parquet it falls back to streaming.changes_since (one full
+    scan + content-hash anti-join)."""
+    from tantivy4java_spark import streaming
+
+    if ref.fmt == "parquet":
+        snap_dir = fsio.join(index_dir, "_snapshot")
+        return streaming.index_changes(
+            spark, config, index_dir, read_table(spark, ref), snap_dir,
+            key_cols, commit=commit, on_update=on_update)
+
+    state = _read_state(spark, index_dir)
+    last = state.get("snapshot_id")
+    now = current_snapshot(spark, ref)
+    if now is None:
+        raise ValueError(f"table {ref.location} has no snapshot yet")
+    if last is not None and int(last) == int(now):
+        return {"action": "noop", "num_docs": 0, "snapshot_id": int(now)}
+
+    delta = (read_table(spark, ref) if last is None
+             else changes_between(spark, ref, int(last)))
+    delta = delta.persist()
+    try:
+        n = delta.count()
+        if n == 0:
+            _write_state(spark, index_dir, {"snapshot_id": int(now),
+                                            "fmt": ref.fmt,
+                                            "location": ref.location})
+            return {"action": "noop", "num_docs": 0, "snapshot_id": int(now)}
+        if on_update == "tombstone":
+            streaming._tombstone_prior_versions(spark, index_dir, delta,
+                                                list(key_cols))
+        elif on_update != "append":
+            raise ValueError(f"on_update must be 'tombstone' or 'append', "
+                             f"got {on_update!r}")
+        action = streaming.add_documents(spark, config, index_dir, delta,
+                                         commit=commit)
+        _write_state(spark, index_dir, {"snapshot_id": int(now),
+                                        "fmt": ref.fmt,
+                                        "location": ref.location})
+        return dict(action, snapshot_id=int(now))
+    finally:
+        delta.unpersist()

@@ -285,3 +285,77 @@ def test_add_documents_with_user_doc_ids(spark, tmp_path):
     got = {r.doc_id for r in
            s.score_query(Q.Range("doc_id", 10_000, None)).collect()}
     assert got == set(range(10_000, 10_010))
+
+
+# -- 8. vectorized sloppy-phrase frequency ------------------------------------
+
+def test_phrase_freq_vectorized_matches_scalar_reference():
+    """_phrase_freq slop>0 is a vectorized searchsorted sweep; pin it against
+    the straightforward per-anchor greedy loop on random position sets."""
+    import numpy as np
+    from tantivy4java_spark.searcher import _phrase_freq
+
+    def scalar_ref(arrays, slop):
+        if any(a.size == 0 for a in arrays):
+            return 0
+        count = 0
+        for p0 in arrays[0]:
+            prev, budget_used, ok = p0, 0, True
+            for i, arr in enumerate(arrays[1:], 1):
+                cand = arr[(arr > prev) & (arr <= p0 + i + (slop - budget_used))]
+                if cand.size == 0:
+                    ok = False
+                    break
+                nxt = int(cand.min())
+                budget_used = nxt - p0 - i
+                prev = nxt
+            if ok:
+                count += 1
+        return count
+
+    rng = np.random.default_rng(42)
+    for _ in range(500):
+        nterms = int(rng.integers(2, 5))
+        arrays = [np.unique(rng.integers(0, 40, size=int(rng.integers(0, 12)))
+                            .astype(np.int64)) for _ in range(nterms)]
+        slop = int(rng.integers(1, 5))
+        assert _phrase_freq(arrays, slop) == scalar_ref(arrays, slop), \
+            (slop, [list(a) for a in arrays])
+
+
+# -- 9. explain() for Phrase and Fuzzy -----------------------------------------
+
+def test_explain_phrase_and_fuzzy(spark, tmp_path):
+    """explain emits a 'phrase' row (phrase-tf + score matching search) with
+    per-word idf components, and 'fuzzy-term' rows with edit distances."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta {'xray' if i % 3 else 'xrai'} end {i}")
+         for i in range(60)], "doc_id long, text string")
+    cfg = IndexConfig(fields=[FieldConfig("text", "text")],
+                      id_cols=["doc_id"])
+    idx = str(tmp_path / "expl")
+    build_index(spark, docs, cfg, idx, doc_id_col="doc_id")
+    s = IndexSearcher(spark, idx)
+
+    ph = Q.Phrase("text", ["alpha", "beta", "gamma"])
+    hit = s.search(ph, limit=1).collect()[0]
+    rows = s.explain(ph, hit.doc_id).collect()
+    prow = [r for r in rows if r.kind == "phrase"][0]
+    assert prow.tf >= 1 and abs(prow.score - hit.score) < 1e-9
+    words = {r.term: r.score for r in rows if r.kind == "phrase-term"}
+    assert set(words) == {"alpha", "beta", "gamma"}
+    # combined phrase idf = sum of the per-word idf components: the phrase
+    # score with tf and length known must reconstruct from them
+    from tantivy4java_spark.scoring import B, K1
+    idf_w = sum(words.values())
+    expect = idf_w * prow.tf / (prow.tf + K1 * (1 - B + B * prow.quantized_len
+                                                / s.avgdl("text")))
+    assert abs(prow.score - expect) < 1e-9
+
+    fq = Q.Fuzzy("text", "xray", distance=1)
+    fhit = s.search(fq, limit=1).collect()[0]
+    frows = s.explain(fq, fhit.doc_id).collect()
+    assert frows and all(r.kind == "fuzzy-term" for r in frows)
+    dists = {r.term: r.distance for r in frows}
+    assert all(t in ("xray", "xrai") for t in dists)
+    assert all(d == (0 if t == "xray" else 1) for t, d in dists.items())
