@@ -84,6 +84,8 @@ def run_bench(spark, sf_dir: str, n_docs: int, workdir: str) -> dict:
         "q_bool_or": Q.Boolean(should=[Q.Term("content", "executor"),
                                        Q.Term("content", "driver")]),
         "q_phrase": Q.Phrase("content", ["public", "static"], slop=0),
+        # slop>0 exercises the vectorized searchsorted sweep in _phrase_freq
+        "q_phrase_slop2": Q.Phrase("content", ["public", "void"], slop=2),
         "q_field_scoped": Q.Boolean(must=[Q.Term("repo", "org0/repo0"),
                                           Q.Term("content", "partition")]),
         "q_wildcard": Q.Wildcard("content", "shuf*"),

@@ -8,7 +8,7 @@ Usage:
       [--fields content:text repo:string path:string lang:string]
 
 Resume is automatic: segments already recorded in the index's
-_manifest/manifest.jsonl are skipped (txlog semantics).  Run the identical
+_manifest versioned action files are skipped (txlog semantics).  Run the identical
 command at any cluster size; per-segment lineage makes the build restartable
 at 10^12-file scale.
 """
@@ -53,9 +53,11 @@ def main(argv=None):
     from tantivy4java_spark.schema import IndexConfig
 
     spark = SparkSession.builder.appName("t4s-build").getOrCreate()
-    reader = spark.read.format(args.format)
-    df = reader.load(args.input) if args.format != "iceberg" \
-        else spark.read.table(args.input)
+    from tantivy4java_spark.tables import TableRef, read_table
+    if args.format == "json":
+        df = spark.read.format("json").load(args.input)
+    else:
+        df = read_table(spark, TableRef(args.input, args.format))
 
     cfg = IndexConfig(fields=parse_fields(args.fields), id_cols=args.id_cols,
                       content_col=args.content_col, shard_bits=args.shard_bits)

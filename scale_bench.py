@@ -34,7 +34,8 @@ def _build_at(cpus: int, n_docs: int) -> dict:
         .appName(f"t4s-scale-{cpus}")
         .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.driver.memory", "12g")
+        .config("spark.driver.memory",
+                os.environ.get("SCALE_DRIVER_MEM", "12g"))
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()

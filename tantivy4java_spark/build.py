@@ -9,8 +9,9 @@ Mirrors the reference's build lifecycle (SURVEY.md §3.3) Spark-first:
   writer.commit() -> opstamp                 manifest "add" line per segment
   QuickwitSplit.convertIndex + mergeSplits   merge job: re-block postings per
   (native/src/quickwit_split/merge_impl.rs)  (field,term,shard), global stats
-  txlog Add actions w/ stats                 _manifest/manifest.jsonl lineage
-  (native/src/txlog/actions.rs:182-241)      rows enabling zero-recompute resume
+  txlog Add actions w/ stats                 _manifest/<n>.json versioned
+  (native/src/txlog/actions.rs:182-241)      actions enabling zero-recompute
+                                             resume and lock-free appends
 
 Physical layout under ``index_dir``:
   docs/        doc_id, <id_cols>, content_sha256, len_<f>, norm_<f>
@@ -29,7 +30,8 @@ Physical layout under ``index_dir``:
   terms/       field, term, df, total_tf (range-sharded, sorted)
   stats.json   per-field num_docs / total_tokens / avgdl (+ global num_docs,
                postings_dirs, positions_dirs)
-  _manifest/manifest.jsonl
+  _manifest/<n>.json   one versioned action file per commit (txlog shape;
+               legacy single manifest.jsonl indexes stay readable)
 
 Scale notes (the design target is ~10^12 files on a multi-executor cluster):
 - posting shards are doc_id ranges (``doc_id >> shard_bits``): skewed terms

@@ -128,3 +128,65 @@ def test_delta_table_incremental_upsert(delta_spark, tmp_path):
         s.search(Q.Phrase("text", ["version", "one"]), limit=100),
         s._table("docs"), fields=["k"]).collect()}
     assert 5 not in one and 99 in one
+
+
+# -- iceberg path: gated on an iceberg-enabled session --------------------------
+
+
+@pytest.fixture(scope="module")
+def iceberg_spark(tmp_path_factory):
+    """Needs iceberg-spark-runtime on the classpath (no network in this
+    sandbox).  Set T4S_ICEBERG_JAR to the runtime jar to enable."""
+    import os
+    jar = os.environ.get("T4S_ICEBERG_JAR")
+    if not jar:
+        pytest.skip("iceberg-spark-runtime not available "
+                    "(set T4S_ICEBERG_JAR); on a cluster this exercises "
+                    "S11 end-to-end")
+    from pyspark.sql import SparkSession
+    wh = str(tmp_path_factory.mktemp("iceberg_wh"))
+    sp = (SparkSession.builder.master("local[4]")
+          .appName("t4s-iceberg-e2e")
+          .config("spark.jars", jar)
+          .config("spark.sql.extensions",
+                  "org.apache.iceberg.spark.extensions"
+                  ".IcebergSparkSessionExtensions")
+          .config("spark.sql.catalog.local",
+                  "org.apache.iceberg.spark.SparkCatalog")
+          .config("spark.sql.catalog.local.type", "hadoop")
+          .config("spark.sql.catalog.local.warehouse", wh)
+          .config("spark.sql.shuffle.partitions", "8")
+          .getOrCreate())
+    yield sp
+    sp.stop()
+
+
+def test_iceberg_table_incremental_upsert(iceberg_spark, tmp_path):
+    spark = iceberg_spark
+    tname = "local.db.t4s_docs"
+    idx = str(tmp_path / "iidx")
+    ref = TableRef(tname, "iceberg")
+
+    spark.sql(f"DROP TABLE IF EXISTS {tname}")
+    spark.createDataFrame([(i, f"version one {i}") for i in range(30)],
+                          "k long, text string") \
+        .writeTo(tname).create()
+    snap0 = current_snapshot(spark, ref)
+    assert snap0 is not None
+    a1 = index_table_changes(spark, _cfg(), idx, ref, ["k"])
+    assert a1["num_docs"] == 30 and a1["snapshot_id"] == snap0
+    assert index_table_changes(spark, _cfg(), idx, ref, ["k"])["action"] == "noop"
+
+    # append a snapshot (iceberg incremental scans cover appends)
+    spark.createDataFrame([(99, "version one 99"),
+                           (100, "version two changed")],
+                          "k long, text string").writeTo(tname).append()
+    snap1 = current_snapshot(spark, ref)
+    assert snap1 != snap0
+    a2 = index_table_changes(spark, _cfg(), idx, ref, ["k"])
+    assert a2["num_docs"] == 2 and a2["snapshot_id"] == snap1
+
+    s = IndexSearcher(spark, idx)
+    assert {r.k for r in s.retrieve(
+        s.search(Q.Term("text", "changed"), limit=10), s._table("docs"),
+        fields=["k"]).collect()} == {100}
