@@ -76,6 +76,16 @@ def run_bench(spark, sf_dir: str, n_docs: int, workdir: str) -> dict:
     build_info = {"n_docs": stats.num_docs, "docs_per_sec": round(stats.docs_per_sec, 1)}
 
     s = IndexSearcher(spark, code_dir)
+    # warm-cache queries: the reference's published per-query numbers are
+    # warm (its SplitSearcher preloadComponents pins terms/postings in the
+    # L1/L2 cache, split/SplitSearcher.java:1129-1196); preload() is the
+    # documented Spark analog (block-manager cache).  SPARK_GRAFT_PRELOAD=0
+    # benches the cold-scan path instead.
+    preload = os.environ.get("SPARK_GRAFT_PRELOAD", "1") != "0"
+    if preload:
+        sec, _ = _timed(lambda: s.preload(
+            ("terms", "postings", "positions", "docs")))
+        steps["preload"] = round(sec, 3)
     qset = {
         "q_term": Q.Term("content", "shuffle"),
         "q_term_highdf": Q.Term("content", "import"),

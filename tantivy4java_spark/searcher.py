@@ -1091,8 +1091,12 @@ class IndexSearcher:
         """Pin index tables in executor memory (Spark block-manager cache —
         replaces the reference's L1/L2 cache machinery,
         split/SplitSearcher.java:1129-1196)."""
+        accessors = {"postings": self.postings, "positions": self.positions,
+                     "docs": self.docs, "blockmeta": self.blockmeta}
         for name in components:
-            df = self.postings() if name == "postings" else self._table(name)
+            df = accessors[name]() if name in accessors else self._table(name)
+            if df is None:  # blockmeta on legacy indexes
+                continue
             df = df.cache()
             df.count()  # materialize
 
