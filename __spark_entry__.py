@@ -364,9 +364,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["d02_minhash_lsh"] = lambda sp, sf: D.minhash_dedup_pairs(
         _docs_with_copies(sp, sf), "text", "id",
         num_hashes=16, bands=8, threshold=0.999)
-    q["d03_ngram_jaccard"] = lambda sp, sf: D.ngram_jaccard_pairs(
-        _docs(sp, sf).filter(F.col("doc_id") < 80), "text", "doc_id",
-        k=3, threshold=0.2)
+    # copies of docs <5 guarantee true near-dup pairs at the real 0.2
+    # threshold (natural sf0.01 text has none: best cross-doc jaccard <0.05)
+    def _d03(sp, sf):
+        base = (_docs(sp, sf).filter(F.col("doc_id") < 80)
+                .select(F.col("doc_id").alias("id"), "text"))
+        copies = (_docs(sp, sf).filter(F.col("doc_id") < 5)
+                  .select((F.col("doc_id") + F.lit(100000)).alias("id"),
+                          "text"))
+        return D.ngram_jaccard_pairs(base.unionByName(copies), "text", "id",
+                                     k=3, threshold=0.2)
+    q["d03_ngram_jaccard"] = _d03
     q["d04_simhash"] = lambda sp, sf: D.simhash_dup_pairs(
         _docs_with_copies(sp, sf), "text", "id", max_hamming=3)
     # bucketer=8: the LSH-bucketed candidate path (the scale design — never
@@ -662,12 +670,16 @@ WHERE len(list_intersect(a.s, b.s))::DOUBLE /
       (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.999"""
 
     o["d03_ngram_jaccard"] = f"""
-WITH toks AS (SELECT doc_id, {_wtoks} t FROM documents WHERE doc_id < 80),
-sh AS (SELECT doc_id, {_sh} s FROM toks WHERE len(t) >= 3),
-pairs AS (SELECT a.doc_id id_a, b.doc_id id_b,
+WITH u AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 80
+           UNION ALL
+           SELECT doc_id + 100000 AS id, text FROM documents
+           WHERE doc_id < 5),
+toks AS (SELECT id, {_wtoks} t FROM u),
+sh AS (SELECT id, {_sh} s FROM toks WHERE len(t) >= 3),
+pairs AS (SELECT a.id id_a, b.id id_b,
                  len(list_intersect(a.s, b.s))::DOUBLE /
                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
-          FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+          FROM sh a JOIN sh b ON a.id < b.id)
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.2"""
 
     # d04: SimHash is md5-derived -> DuckDB replays the exact bit votes.
