@@ -104,6 +104,36 @@ def _jdocs_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return _SEARCHERS[key]
 
 
+def _enriched_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index over events with DERIVED typed columns: an IP fast field
+    (full-IPv6 hex32 column, §1.2) and a multi-value keyword array
+    (position-gap-2 tag semantics) — exercises O5/array surface in the
+    driver with deterministic, SQL-reconstructible values."""
+    key = "enriched:" + os.path.abspath(sf_dir)
+    if key in _SEARCHERS:
+        return _SEARCHERS[key]
+    import tantivy4java_spark
+    tag = hashlib.md5(
+        f"{key}:{tantivy4java_spark.__version__}:5".encode()).hexdigest()[:10]
+    idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_enriched_index_{tag}")
+    if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        enr = ev.select(
+            F.col("event_id").alias("doc_id"),
+            F.concat(F.lit("10."), (F.col("user_id") % 4).cast("string"),
+                     F.lit(".0."), (F.col("user_id") % 250).cast("string")
+                     ).alias("client_ip"),
+            F.array(F.col("event_type"),
+                    F.concat(F.lit("u"), (F.col("user_id") % 7).cast("string"))
+                    ).alias("tags"))
+        cfg = IndexConfig(fields=[FieldConfig("client_ip", "ip"),
+                                  FieldConfig("tags", "string")],
+                          id_cols=["doc_id"])
+        build_index(spark, enr, cfg, idx_dir, doc_id_col="doc_id")
+    _SEARCHERS[key] = IndexSearcher(spark, idx_dir)
+    return _SEARCHERS[key]
+
+
 def _docs(spark, sf_dir):
     return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
 
@@ -286,6 +316,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         limit=10)
         return hits.select("doc_id", F.round("score", 6).alias("score"))
     q["q26_json_phrase"] = _q26
+    # IP field + CIDR rewrite (O5, full IPv6 hex32 fast column) in the driver
+    q["q27_ip_cidr"] = lambda sp, sf: (
+        _enriched_searcher(sp, sf)
+        .score_query(Q.Term("client_ip", "10.2.0.0/16")).select("doc_id"))
+    # delete_by_query (S6): tombstones hide docs from every later search
+    def _q28(sp, sf):
+        import shutil
+        from tantivy4java_spark import maintenance as M
+        docs = _docs(sp, sf).filter(F.col("doc_id") < 1000)
+        idx = os.path.join(tempfile.mkdtemp(prefix="t4s_del_"), "idx")
+        cfg = IndexConfig(fields=[FieldConfig("text", "text"),
+                                  FieldConfig("lang", "string")],
+                          id_cols=["doc_id"])
+        build_index(sp, docs, cfg, idx, doc_id_col="doc_id")
+        M.delete_by_query(sp, idx, Q.Term("lang", "de"))
+        return (IndexSearcher(sp, idx)
+                .score_query(Q.Term("text", "merge")).select("doc_id"))
+    q["q28_delete_by_query"] = _q28
+    # multi-value keyword array membership (tag semantics, §1.2 arrays)
+    q["q29_array_term"] = lambda sp, sf: (
+        _enriched_searcher(sp, sf)
+        .score_query(Q.Term("tags", "u3")).select("doc_id"))
     # JSON dot-path queries (Q11) over the events.props JSON column
     q["q20_json_term"] = lambda sp, sf: (
         _events_searcher(sp, sf).score_query(Q.Term("props.k", 87))
@@ -620,6 +672,19 @@ FROM events GROUP BY 1 ORDER BY 1"""
 SELECT strftime(time_bucket(INTERVAL '1 day', ts), '%Y-%m-%d') AS day,
        count(*) AS doc_count
 FROM events GROUP BY 1 ORDER BY 1"""
+    # q27: CIDR 10.2.0.0/16 over the derived ip column = user_id % 4 == 2
+    o["q27_ip_cidr"] = """
+SELECT event_id AS doc_id FROM events WHERE user_id % 4 = 2"""
+    # q28: tombstoned lang='de' docs stay invisible to the term search
+    o["q28_delete_by_query"] = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS} t FROM documents
+              WHERE doc_id < 1000)
+SELECT doc_id FROM toks
+WHERE list_contains(t, 'merge') AND lang <> 'de'"""
+    # q29: multi-value keyword array membership (derived tag u<user_id%7>)
+    o["q29_array_term"] = """
+SELECT event_id AS doc_id FROM events WHERE user_id % 7 = 3"""
+
     # ES time_zone semantics: truncate in NY wall-clock, key = bucket start
     # as a UTC instant.  timezone('UTC', ts) pins the naive parquet ts to a
     # UTC instant regardless of the DuckDB session TimeZone.
