@@ -454,6 +454,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["s03_ann_lsh"] = lambda sp, sf: S.lsh_ann_topk(
         _emb(sp, sf), "embedding", "vec_id", _qvec(sp, sf), k=10,
         nbits=4, multiprobe=1)
+    # large-by-large LSH kNN join (both sides bucketed; bucket-id shuffle
+    # only) — the scale path when neither side broadcasts
+    q["s04_knn_join_lsh"] = lambda sp, sf: S.knn_join_lsh(
+        _emb(sp, sf).filter(F.col("vec_id") < 5)
+        .select(F.col("vec_id").alias("qid"), "embedding"),
+        _emb(sp, sf), "embedding", "qid", "vec_id", k=3,
+        nbits=4, multiprobe=1)
 
     # ---- text analysis ------------------------------------------------------
     q["t01_token_counts"] = lambda sp, sf: (
@@ -801,6 +808,28 @@ eb AS (SELECT vec_id, embedding::DOUBLE[] v,
 SELECT e.vec_id, round({_cosq}, 6) AS cosine
 FROM eb e, q WHERE e.b IN (SELECT b FROM allowed)
 ORDER BY {_cosq} DESC, e.vec_id ASC LIMIT 10"""
+
+    # s04: replay the two-sided bucket join — left probes its bucket plus
+    # every 1-bit flip; candidates dedupe, exact cosine re-rank, per-left
+    # top-k (rounded cosine orders the window, matching the Spark plan)
+    _cosr = ("round(list_dot_product(l.v, r.v) / "
+             "(sqrt(list_dot_product(l.v, l.v)) * "
+             "sqrt(list_dot_product(r.v, r.v))), 6)")
+    o["s04_knn_join_lsh"] = f"""
+WITH l0 AS (SELECT vec_id qid, embedding::DOUBLE[] v,
+                   {_bkt("embedding::DOUBLE[]")} b0
+            FROM embeddings WHERE vec_id < 5),
+l AS (SELECT qid, v, xor(b0, f) b
+      FROM l0, (VALUES (0),(1),(2),(4),(8)) fl(f)),
+r AS (SELECT vec_id rid, embedding::DOUBLE[] v,
+             {_bkt("embedding::DOUBLE[]")} b FROM embeddings),
+cand AS (SELECT DISTINCT l.qid, r.rid, {_cosr} cosine
+         FROM l JOIN r ON l.b = r.b),
+rk AS (SELECT qid, rid, cosine,
+              row_number() OVER (PARTITION BY qid
+                                 ORDER BY cosine DESC, rid ASC) rn
+       FROM cand)
+SELECT qid, rid AS vec_id, cosine, rn AS rank FROM rk WHERE rn <= 3"""
 
     # m01/m02: the synthetic media payload is an md5 chain over media_id —
     # reconstructible in SQL, so sha256/n_bytes and the frame plan get full
