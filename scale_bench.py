@@ -37,6 +37,11 @@ def _build_at(cpus: int, n_docs: int) -> dict:
         .config("spark.driver.memory",
                 os.environ.get("SCALE_DRIVER_MEM", "12g"))
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # a 4M-doc run once deadlocked in the idle-python-worker reuse
+        # handshake (worker blocked in recv, executor blocked in epoll read,
+        # both 0% CPU for an hour); tasks here are few and large, so a fresh
+        # worker per task costs ~ms and removes that hang class entirely
+        .config("spark.python.worker.reuse", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
@@ -60,7 +65,13 @@ def _build_at(cpus: int, n_docs: int) -> dict:
 
 
 def _best_of(cpus: int, n_docs: int, repeats: int) -> dict:
-    runs = [_build_at(cpus, n_docs) for _ in range(repeats)]
+    runs = []
+    for i in range(repeats):
+        r = _build_at(cpus, n_docs)
+        # stream each run as it completes: a hung or killed later run must
+        # not lose finished measurements
+        print(json.dumps({"run": i + 1, **r}), flush=True)
+        runs.append(r)
     best = min(runs, key=lambda r: r["wall_sec"])
     best["all_wall_sec"] = [r["wall_sec"] for r in runs]
     return best
