@@ -472,6 +472,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         TX.fingerprint(_docs(sp, sf), "text").select("doc_id", "fp"))
     q["t04_lang_id"] = lambda sp, sf: (
         TX.lang_id(_docs(sp, sf), "text").select("doc_id", "lang_pred"))
+    # deterministic hash-bucket train/val/test split (stable under re-runs
+    # and corpus growth — df.sample() is not); binary-exact fractions so the
+    # cumulative bounds replay bit-identically in SQL
+    from tantivy4java_spark.pipeline import sampling as SM
+    q["t05_hash_split"] = lambda sp, sf: (
+        SM.hash_split(_docs(sp, sf), "doc_id",
+                      {"train": 0.75, "val": 0.125, "test": 0.125})
+        .groupBy("split").agg(F.count(F.lit(1)).alias("doc_count")))
+    # per-stratum deterministic sample (per-language audit sampling)
+    q["t06_stratified_sample"] = lambda sp, sf: (
+        SM.stratified_hash_sample(_docs(sp, sf), ["lang"], "doc_id", 0.25)
+        .select("doc_id", "lang"))
 
     # ---- multimodal plumbing (stubbed decode; rows-only check) --------------
     q["m01_media_features"] = lambda sp, sf: (
@@ -808,6 +820,21 @@ eb AS (SELECT vec_id, embedding::DOUBLE[] v,
 SELECT e.vec_id, round({_cosq}, 6) AS cosine
 FROM eb e, q WHERE e.b IN (SELECT b FROM allowed)
 ORDER BY {_cosq} DESC, e.vec_id ASC LIMIT 10"""
+
+    # t05/t06: hash-bucket sampling — u = first-8-hex of md5 / 2^32, exact
+    # double parity on both engines (same 32-bit int, same division)
+    _u = ("(('0x' || substr(md5({key}), 1, 8))::UBIGINT / 4294967296.0)")
+    o["t05_hash_split"] = f"""
+WITH u AS (SELECT {_u.format(key="'split:' || doc_id::VARCHAR")} u
+           FROM documents)
+SELECT CASE WHEN u < 0.75 THEN 'train'
+            WHEN u < 0.875 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS doc_count
+FROM u GROUP BY 1"""
+    o["t06_stratified_sample"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE {_u.format(key="'strata:' || lang || chr(31) || doc_id::VARCHAR")}
+      < 0.25"""
 
     # s04: replay the two-sided bucket join — left probes its bucket plus
     # every 1-bit flip; candidates dedupe, exact cosine re-rank, per-left
