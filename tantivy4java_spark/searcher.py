@@ -247,7 +247,8 @@ class IndexSearcher:
     # -- scored decode of a set of (field, term) --------------------------------
     def _decoded_postings(self, field_terms: Sequence[Tuple[str, str]],
                           shards: Optional[Sequence[int]] = None,
-                          min_block_max: Optional[float] = None) -> DataFrame:
+                          min_block_max: Optional[float] = None,
+                          shards_df: Optional[DataFrame] = None) -> DataFrame:
         p = self.postings()
         fields = sorted({f for f, _ in field_terms})
         terms = sorted({t for _, t in field_terms})
@@ -259,6 +260,11 @@ class IndexSearcher:
             p = p.filter(pair.isin([f + "\x00" + t for f, t in field_terms]))
         if shards is not None:
             p = p.filter(F.col("shard").isin([int(s) for s in shards]))
+        if shards_df is not None:
+            # cluster-side survivor set (shard column): the list never
+            # touches the driver — a broadcast semi-join prunes the scan
+            p = p.join(F.broadcast(shards_df.select("shard").distinct()),
+                       "shard")
         if min_block_max is not None:
             # block-level WAND skip: only valid when per-doc score == this
             # term's block contribution (single-term queries)
@@ -271,6 +277,10 @@ class IndexSearcher:
                 if shards is not None:
                     keep = keep.filter(
                         F.col("shard").isin([int(s) for s in shards]))
+                if shards_df is not None:
+                    keep = keep.join(
+                        F.broadcast(shards_df.select("shard").distinct()),
+                        "shard")
                 p = p.join(F.broadcast(keep),
                            ["field", "term", "shard", "first_doc"])
             else:  # legacy layout: bound rides inside the postings rows
@@ -435,6 +445,9 @@ class IndexSearcher:
         return scored.groupBy("doc_id").agg(F.sum("score").alias("score"))
 
     MAX_TERM_EXPANSIONS = 10_000  # protective bound on dictionary expansion
+    # above this many estimated (term, shard) bound rows the WAND phases run
+    # fully cluster-side (no driver collect of bounds, no isin literal)
+    MAX_DRIVER_SHARD_ROWS = 200_000
 
     def _score_regex(self, q) -> DataFrame:
         pattern = q.pattern if isinstance(q, Q.Regex) else Q.wildcard_to_regex(q.pattern)
@@ -988,6 +1001,17 @@ class IndexSearcher:
         pairs = list(idf_map.keys())
         fields = sorted({f for f, _ in pairs})
         terms = sorted({t for _, t in pairs})
+        # The per-(term, shard) bound rows are collected to the driver for
+        # phase selection.  That is fine while terms x touched-shards stays
+        # small, but a high-df term over a 10^12-doc index touches millions
+        # of shards — estimate the volume from the cached term dfs (an upper
+        # bound: a term cannot touch more shards than docs, nor more than
+        # exist) and switch to the all-cluster-side phases above the cap.
+        total_shards_ub = max(1, self.num_docs >> self._meta.get("shard_bits", 16))
+        est_rows = sum(min(self._df_cache.get(p, self.num_docs), total_shards_ub)
+                       for p in pairs)
+        if est_rows > self.MAX_DRIVER_SHARD_ROWS:
+            return self._scored_pruned_cluster(mode, pairs, idf_map, k)
         # shard bounds come from the tiny blockmeta table when present (the
         # metadata-only-merge layout); legacy indexes aggregate the postings
         # rows' embedded block_max column
@@ -1067,6 +1091,87 @@ class IndexSearcher:
         self.last_metrics["shards_scored"] = len(survivors)
         self.last_metrics["wand_threshold"] = threshold
         # single-term: additionally skip individual blocks below the threshold
+        return scored_for(survivors, min_block_max=threshold)
+
+    def _scored_pruned_cluster(self, mode: str,
+                               pairs: List[Tuple[str, str]],
+                               idf_map: Dict[Tuple[str, str], float],
+                               k: int) -> DataFrame:
+        """Same two-phase shard WAND, but the bound table never leaves the
+        cluster: phase-1 shard selection collects only a bounded prefix of
+        the per-shard bounds, and the phase-2 survivor set prunes the scan
+        via a broadcast semi-join instead of an isin literal.  The algorithm
+        (and its oracle-checked results) are identical to the driver-side
+        path; only the data movement changes."""
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        cond = F.col("field").isin(fields) & F.col("term").isin(terms)
+        if len(fields) > 1:
+            pk = F.concat_ws("\x00", F.col("field"), F.col("term"))
+            cond = cond & pk.isin([f + "\x00" + t for f, t in pairs])
+        src = self.blockmeta()
+        if src is None:
+            src = self.postings()
+        bounds = (src.filter(cond)
+                  .groupBy("field", "term", "shard")
+                  .agg(F.sum("count").alias("cnt"),
+                       F.max("block_max_score").alias("bmax"))
+                  .groupBy("shard")
+                  .agg(F.sum("bmax").alias("bound"),
+                       F.sum("cnt").alias("cnt"),
+                       F.countDistinct("field", "term").alias("_nterms")))
+        if mode == "and":
+            bounds = bounds.filter(F.col("_nterms") == len(pairs))
+        # no persist: the result is consumed lazily by the caller, and the
+        # bounds frame is a cheap metadata aggregation (blockmeta is tiny
+        # relative to postings) — evaluating it twice beats leaking cache
+        bounds = bounds.select("shard", "bound", "cnt")
+        self.last_metrics["shards_total"] = -1  # not enumerated (by design)
+
+        def scored_for(shards_df: DataFrame,
+                       min_block_max: Optional[float] = None) -> DataFrame:
+            decoded = self._decoded_postings(
+                pairs, shards_df=shards_df,
+                min_block_max=min_block_max if len(pairs) == 1 else None)
+            scored = self._score_decoded(decoded, idf_map)
+            if mode == "and":
+                agg = (scored.groupBy("doc_id")
+                       .agg(F.sum("score").alias("score"),
+                            F.countDistinct("field", "term").alias("_n"))
+                       .filter(F.col("_n") == len(pairs)))
+                scored = agg.select("doc_id", "score")
+            else:
+                scored = scored.groupBy("doc_id") \
+                    .agg(F.sum("score").alias("score"))
+            return self._apply_deletes(scored)
+
+        # phase 1: a bounded prefix of the best-bound shards is enough to
+        # seed the threshold (each shard holds >= 1 posting, so 4k rows
+        # cover any sane k); collect ONLY that prefix
+        prefix = (bounds.orderBy(F.desc("bound"), F.asc("shard"))
+                  .limit(max(64, 4 * k)).collect())
+        phase1, cum = [], 0
+        for r in prefix:
+            phase1.append(int(r["shard"]))
+            cum += int(r["cnt"])
+            if cum >= k:
+                break
+        if not phase1:
+            return self._empty_scored()
+        p1_df = self.spark.createDataFrame(
+            [(s,) for s in phase1], "shard long")
+        top1 = (scored_for(p1_df)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k).collect())
+        if len(top1) < k:
+            # fewer than k hits in the best shards: score everything the
+            # bounds table covers (no threshold to prune with)
+            self.last_metrics["shards_scored"] = -1
+            return scored_for(bounds)
+        threshold = top1[-1]["score"]
+        survivors = bounds.filter(F.col("bound") >= F.lit(threshold))
+        self.last_metrics["wand_threshold"] = threshold
+        self.last_metrics["shards_scored"] = -1
         return scored_for(survivors, min_block_max=threshold)
 
     # -- doc retrieval (S14 analog: join hits back to the doc store) ---------------
