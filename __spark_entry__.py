@@ -338,6 +338,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q29_array_term"] = lambda sp, sf: (
         _enriched_searcher(sp, sf)
         .score_query(Q.Term("tags", "u3")).select("doc_id"))
+    # IP range over the hex32 fast column (lexicographic == numeric order)
+    q["q30_ip_range"] = lambda sp, sf: (
+        _enriched_searcher(sp, sf)
+        .score_query(Q.Range("client_ip", "10.2.0.0", "10.2.0.120"))
+        .select("doc_id"))
     # JSON dot-path queries (Q11) over the events.props JSON column
     q["q20_json_term"] = lambda sp, sf: (
         _events_searcher(sp, sf).score_query(Q.Term("props.k", 87))
@@ -703,6 +708,11 @@ WHERE list_contains(t, 'merge') AND lang <> 'de'"""
     # q29: multi-value keyword array membership (derived tag u<user_id%7>)
     o["q29_array_term"] = """
 SELECT event_id AS doc_id FROM events WHERE user_id % 7 = 3"""
+    # q30: derived ip is 10.(u%4).0.(u%250); [10.2.0.0, 10.2.0.120] covers
+    # exactly u%4=2 and u%250<=120
+    o["q30_ip_range"] = """
+SELECT event_id AS doc_id FROM events
+WHERE user_id % 4 = 2 AND user_id % 250 <= 120"""
 
     # ES time_zone semantics: truncate in NY wall-clock, key = bucket start
     # as a UTC instant.  timezone('UTC', ts) pins the naive parquet ts to a

@@ -565,6 +565,26 @@ class IndexSearcher:
                     .select("doc_id", F.lit(1.0).alias("score")))
         fm = self._field_meta(q.field)
         docs = self.docs()
+        if fm.get("type") == "ip":
+            # IP range (SplitRangeQueryTest ip cases): bounds become hex32
+            # and compare lexicographically on the canonical fast column —
+            # hex order == numeric order across v4-mapped and full v6
+            from tantivy4java_spark.iptypes import ip_to_hex
+            num_field = f"_ipnum_{q.field}"
+            if num_field not in docs.columns:
+                raise ValueError(f"range query needs a fast field: {q.field}")
+            col = F.col(num_field)
+            cond = F.lit(True)
+            if q.lower is not None:
+                lo = ip_to_hex(str(q.lower))
+                cond = cond & (col >= F.lit(lo) if q.include_lower
+                               else col > F.lit(lo))
+            if q.upper is not None:
+                hi = ip_to_hex(str(q.upper))
+                cond = cond & (col <= F.lit(hi) if q.include_upper
+                               else col < F.lit(hi))
+            return docs.filter(cond).select(
+                "doc_id", F.lit(1.0).alias("score"))
         if q.field not in docs.columns:
             raise ValueError(f"range query needs a fast field: {q.field}")
         dtype = dict(docs.dtypes).get(q.field, "")

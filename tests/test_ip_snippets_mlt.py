@@ -113,3 +113,26 @@ def test_snippet_df_and_mlt(spark, tmp_path):
                          min_doc_freq=2, min_term_freq=1, max_query_terms=10)
     top = s.search(mlt, limit=3).collect()
     assert top and top[0]["doc_id"] == seed_doc
+
+
+def test_ip_range_query(ip_searcher):
+    # v4 range on the hex32 fast column (lexicographic == numeric)
+    hits = ip_searcher.score_query(
+        Q.Range("client_ip", "10.1.0.0", "10.1.0.50")).collect()
+    assert sorted(r["doc_id"] for r in hits) == \
+        [i for i in range(80) if i % 4 == 1 and i % 250 <= 50]
+    # v6 range
+    hits = ip_searcher.score_query(
+        Q.Range("client_ip", "2001:db8::2", "2001:db8::5")).collect()
+    assert sorted(r["doc_id"] for r in hits) == [81, 82, 83, 84]
+    # open upper bound reaches across v4-mapped space into v6
+    hits = ip_searcher.score_query(
+        Q.Range("client_ip", "10.3.0.0", None)).collect()
+    ids = sorted(r["doc_id"] for r in hits)
+    assert set(range(80, 90)) <= set(ids)
+    assert all(i % 4 == 3 or i >= 80 for i in ids)
+    # exclusive bounds
+    hits = ip_searcher.score_query(
+        Q.Range("client_ip", "2001:db8::2", "2001:db8::5",
+                include_lower=False, include_upper=False)).collect()
+    assert sorted(r["doc_id"] for r in hits) == [82, 83]
