@@ -136,3 +136,11 @@ def test_ip_range_query(ip_searcher):
         Q.Range("client_ip", "2001:db8::2", "2001:db8::5",
                 include_lower=False, include_upper=False)).collect()
     assert sorted(r["doc_id"] for r in hits) == [82, 83]
+
+
+def test_ip_range_via_query_string(ip_searcher):
+    from tantivy4java_spark.parser import parse_query
+    q = parse_query("client_ip:[10.1.0.0 TO 10.1.0.50]", ["client_ip"])
+    hits = ip_searcher.score_query(q).collect()
+    assert sorted(r["doc_id"] for r in hits) == \
+        [i for i in range(80) if i % 4 == 1 and i % 250 <= 50]
