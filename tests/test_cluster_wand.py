@@ -74,3 +74,15 @@ def test_cluster_path_respects_deletes(spark, idx, monkeypatch, tmp_path):
     after = {r["doc_id"] for r in s.search(q, limit=400).collect()}
     assert victim not in after
     assert after == before - {victim}
+
+
+def test_cluster_path_plan_uses_broadcast_semi_join(spark, idx, monkeypatch):
+    """The survivor shard set must prune the postings scan via a broadcast
+    join — never an isin literal built on the driver."""
+    s = IndexSearcher(spark, idx)
+    monkeypatch.setattr(s, "MAX_DRIVER_SHARD_ROWS", 0)
+    df = s.search(Q.Term("content", "import"), limit=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    # the shard filter is a join, not a literal IN list over shard ids
+    assert "shard IN" not in plan
