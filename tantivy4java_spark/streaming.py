@@ -136,16 +136,25 @@ def changes_since(spark: SparkSession, df: DataFrame, snapshot_dir: str,
 
 
 def _tombstone_prior_versions(spark: SparkSession, index_dir: str,
-                              changed: DataFrame, key_cols) -> int:
+                              changed: DataFrame, key_cols,
+                              refuse_on_reuse: bool = True) -> tuple:
     """Tombstone the docs whose keys appear in `changed` (they are about to
     be re-indexed as a new segment): ONE distributed semi-join of the docs
     table against the changed key set -> doc_ids appended to ``_deletes``.
-    No per-key driver queries — the delta can be millions of rows."""
+    No per-key driver queries — the delta can be millions of rows.
+
+    Returns ``(n_tombstoned, n_reused)``.  ``n_reused`` counts prior doc_ids
+    that ALSO appear in the delta's own ``doc_id`` column (caller-owned id
+    space re-using the same id for the new version).  Deletes are a global
+    doc_id anti-join, so a reused id can't be tombstoned without also hiding
+    its replacement: with ``refuse_on_reuse`` the call raises BEFORE writing
+    any tombstone (state unchanged); otherwise the caller must physically
+    compact (apply_deletes) before appending the delta."""
     from tantivy4java_spark import fsio, manifest
     from tantivy4java_spark.searcher import IndexSearcher
     docs_dir = fsio.join(index_dir, "docs")
     if not fsio.isdir_nonempty(spark, docs_dir):
-        return 0  # never committed: nothing searchable to supersede
+        return 0, 0  # never committed: nothing searchable to supersede
     s = IndexSearcher(spark, index_dir)
     docs = s._table("docs")
     missing = [k for k in key_cols if k not in docs.columns]
@@ -157,13 +166,27 @@ def _tombstone_prior_versions(spark: SparkSession, index_dir: str,
     prior = (docs.join(changed.select(*key_cols).distinct(),
                        list(key_cols), "left_semi")
              .select("doc_id").distinct())
+    n_reused = 0
+    if "doc_id" in changed.columns:
+        delta_ids = (changed.select(F.col("doc_id").cast("long")
+                                    .alias("doc_id")).distinct())
+        n_reused = prior.join(delta_ids, "doc_id", "left_semi").count()
+        if n_reused and refuse_on_reuse:
+            raise ValueError(
+                f"index_changes(on_update='tombstone'): {n_reused} changed "
+                f"key(s) re-use a doc_id already in the index. Global "
+                f"tombstones would hide the NEW version too. Use "
+                f"on_update='upsert_rewrite' (tombstone + physical "
+                f"compaction, correct but rewrites the index), assign fresh "
+                f"doc_ids per version, or drop the doc_id column to let the "
+                f"index own the id space")
     n = prior.count()
     if n:
         prior.write.mode("append").parquet(fsio.join(index_dir, "_deletes"))
         manifest.append_action(spark, index_dir, {
             "action": "delete", "num_docs": int(n),
             "query": f"prior-versions-of-changed-keys{list(key_cols)}"})
-    return int(n)
+    return int(n), int(n_reused)
 
 
 def index_changes(spark: SparkSession, config: IndexConfig, index_dir: str,
@@ -177,7 +200,14 @@ def index_changes(spark: SparkSession, config: IndexConfig, index_dir: str,
     on_update='tombstone' (default): prior versions of changed keys are
     delete-tombstoned before the delta segment lands, so queries see exactly
     one (the latest) version of each key — upsert semantics, matching the
-    reference's update flow (updates = delete + re-add).
+    reference's update flow (updates = delete + re-add).  Refuses (before
+    touching state) when the delta carries a doc_id column that RE-USES a
+    prior doc_id: global tombstones can't supersede a reused id without
+    hiding the new version too.
+    on_update='upsert_rewrite': like tombstone, but when reused doc_ids are
+    detected the index is physically compacted (apply_deletes) before the
+    delta lands — correct for caller-owned stable ids, at the cost of a
+    rewrite pass; without reuse it degrades to plain tombstoning.
     on_update='append': round-2 behavior — the delta only appends; use for
     genuinely append-only sources where the key never recurs."""
     changed, record = changes_since(spark, df, snapshot_dir, key_cols)
@@ -186,11 +216,18 @@ def index_changes(spark: SparkSession, config: IndexConfig, index_dir: str,
         n = changed.count()
         if n == 0:
             return {"action": "noop", "num_docs": 0}
-        if on_update == "tombstone":
-            _tombstone_prior_versions(spark, index_dir, changed,
-                                      list(key_cols))
+        if on_update in ("tombstone", "upsert_rewrite"):
+            _, n_reused = _tombstone_prior_versions(
+                spark, index_dir, changed, list(key_cols),
+                refuse_on_reuse=(on_update == "tombstone"))
+            if n_reused:
+                # reused ids are now tombstoned; fold the tombstones into a
+                # physical compaction so the re-added versions stay visible
+                from tantivy4java_spark.maintenance import apply_deletes
+                apply_deletes(spark, index_dir)
         elif on_update != "append":
-            raise ValueError(f"on_update must be 'tombstone' or 'append', "
+            raise ValueError(f"on_update must be 'tombstone', "
+                             f"'upsert_rewrite' or 'append', "
                              f"got {on_update!r}")
         action = add_documents(spark, config, index_dir, changed,
                                commit=commit)
