@@ -254,8 +254,13 @@ def _fill_date_buckets(out: DataFrame, agg: "DateHistogram") -> DataFrame:
     """min_doc_count=0: emit empty buckets across the data span (widened by
     extended_bounds).  The span endpoints are two scalar values — collecting
     them is O(1); the bucket keys themselves are generated via one
-    `sequence` + explode, then left-joined with the counted buckets (an
-    empty bucket keeps null metric columns, doc_count 0 — ES shape)."""
+    `sequence` + explode, then outer-joined with the counted buckets (an
+    empty bucket keeps null metric columns, doc_count 0 — ES shape).
+
+    The fill sequence steps in LOCAL wall-clock when a time_zone is set —
+    the real keys from key_col() are local-aligned UTC instants, which are
+    NOT a fixed UTC stride across DST transitions.  The join is FULL outer
+    so a counted bucket can never be discarded by a fill-key mismatch."""
     spark = out.sparkSession
     row = out.agg(F.min("key").alias("lo"), F.max("key").alias("hi")) \
         .collect()[0]
@@ -267,29 +272,59 @@ def _fill_date_buckets(out: DataFrame, agg: "DateHistogram") -> DataFrame:
         hi = max([x for x in (hi, ehi) if x is not None], default=None)
     if lo is None:
         return out
-    keys = (spark.range(1)
-            .select(F.explode(F.sequence(
-                F.lit(lo), F.lit(hi),
-                F.expr(agg.sequence_step()))).alias("key")))
-    return keys.join(out, "key", "left").na.fill({"doc_count": 0})
+    step = F.expr(agg.sequence_step())
+    if agg.time_zone == "UTC":
+        seq = F.sequence(F.lit(lo), F.lit(hi), step)
+    else:
+        # same transform as key_col(): shift to local wall-clock, stride
+        # there, convert each bucket start back to its UTC instant
+        tz = agg.time_zone
+        seq = F.transform(
+            F.sequence(F.from_utc_timestamp(F.lit(lo), tz),
+                       F.from_utc_timestamp(F.lit(hi), tz), step),
+            lambda x: F.to_utc_timestamp(x, tz))
+    keys = spark.range(1).select(F.explode(seq).alias("key"))
+    return keys.join(out, "key", "full").na.fill({"doc_count": 0})
+
+
+def _snap_numeric(agg: "Histogram", v: float) -> float:
+    """Bucket key containing bound `v`.  The tiny epsilon favors the upper
+    bucket when the division lands one ulp below an exact boundary (e.g.
+    1.2/0.1 = 11.999...8) — bounds are user-supplied bucket edges far more
+    often than values one-billionth below one."""
+    import math as _m
+    return _m.floor((v - agg.offset) / agg.interval + 1e-9) * agg.interval \
+        + agg.offset
 
 
 def _fill_numeric_buckets(out: DataFrame, agg: "Histogram") -> DataFrame:
-    """Histogram analog of _fill_date_buckets over extended_bounds."""
+    """Histogram analog of _fill_date_buckets over extended_bounds.
+
+    The fill join is on an INTEGER bucket index, not the double key:
+    generated keys (lo + i*interval) and grouped keys
+    (floor((v-offset)/interval)*interval + offset) can differ in the last
+    ulp for non-integral intervals, and a double-equality join would drop
+    real counted buckets.  Where a counted bucket exists its own key wins
+    (hash-exact vs the grouped output)."""
     spark = out.sparkSession
     row = out.agg(F.min("key").alias("lo"), F.max("key").alias("hi")) \
         .collect()[0]
-    import math as _m
     lo_b, hi_b = agg.extended_bounds
-    def _snap(v):
-        return _m.floor((v - agg.offset) / agg.interval) * agg.interval \
-            + agg.offset
-    lo = min(x for x in [row["lo"], _snap(float(lo_b))] if x is not None)
-    hi = max(x for x in [row["hi"], _snap(float(hi_b))] if x is not None)
+    lo = min(x for x in [row["lo"], _snap_numeric(agg, float(lo_b))]
+             if x is not None)
+    hi = max(x for x in [row["hi"], _snap_numeric(agg, float(hi_b))]
+             if x is not None)
     n = int(round((hi - lo) / agg.interval)) + 1
-    keys = spark.range(n).select(
-        (F.lit(lo) + F.col("id") * F.lit(agg.interval)).alias("key"))
-    return keys.join(out, "key", "left").na.fill({"doc_count": 0})
+    bidx = F.round((F.col("key") - F.lit(lo)) / F.lit(agg.interval)) \
+        .cast("long")
+    counted = out.withColumn("_bidx", bidx)
+    keys = spark.range(n).select(F.col("id").cast("long").alias("_bidx"))
+    return (keys.join(counted, "_bidx", "full")
+            .withColumn("key", F.coalesce(
+                F.col("key"),
+                F.lit(lo) + F.col("_bidx") * F.lit(agg.interval)))
+            .drop("_bidx")
+            .na.fill({"doc_count": 0}))
 
 
 def _sub_exprs(sub: Dict[str, Agg]) -> List[Column]:
@@ -318,7 +353,10 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
     if isinstance(agg, Histogram):
         kc = agg.key_col()
         if agg.hard_bounds is not None:
-            lo, hi = agg.hard_bounds
+            # snap bound endpoints to bucket keys: a bound falling
+            # mid-bucket must keep the boundary bucket (its key is the
+            # canonical bucket start, which sits below/above the raw bound)
+            lo, hi = [_snap_numeric(agg, float(b)) for b in agg.hard_bounds]
             kc_f = agg.key_col()
             df = df.filter((kc_f >= F.lit(float(lo)))
                            & (kc_f <= F.lit(float(hi))))
@@ -331,7 +369,10 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
     if isinstance(agg, DateHistogram):
         kc = agg.key_col()
         if agg.hard_bounds is not None:
-            lo, hi = [_ts_lit(b) for b in agg.hard_bounds]
+            # snap to bucket keys (same rule as the numeric branch): the
+            # bucket containing a mid-bucket bound is kept
+            lo, hi = [F.lit(_snap_bucket_key(df.sparkSession, agg, b))
+                      for b in agg.hard_bounds]
             kc_f = agg.key_col()
             df = df.filter((kc_f >= lo) & (kc_f <= hi))
         out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub))

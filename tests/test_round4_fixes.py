@@ -16,11 +16,14 @@
    (Lucene/tantivy), not the round-3 pairwise budget.
 """
 
+import datetime as dtm
+
 import pandas as pd
 import pytest
 
 from pyspark.sql import functions as F
 
+from tantivy4java_spark import aggs as A
 from tantivy4java_spark import queries as Q
 from tantivy4java_spark.schema import FieldConfig, IndexConfig
 from tantivy4java_spark.searcher import IndexSearcher
@@ -111,3 +114,67 @@ def test_index_changes_fresh_caller_ids_tombstone_ok(spark, tmp_path):
     hits = s.score_query(Q.Term("key", "b")).collect()
     assert [h["doc_id"] for h in hits] == [201]
     assert s.score_query(Q.Term("content", "alpha")).count() == 1
+
+
+# -- 2. date_histogram fill across a DST transition ---------------------------
+
+def test_date_fill_keeps_counted_buckets_across_dst(spark):
+    """America/New_York springs forward 2024-03-10: local-midnight bucket
+    keys jump from 05:00Z to 04:00Z, so a fixed-UTC-stride fill sequence
+    misses every post-DST key.  The old left join then DROPPED the counted
+    buckets; the fill must keep them and add the empty gap day."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    days = [8, 9, 11, 12]  # skip the 10th -> one genuinely empty bucket
+    rows = [{"doc_id": i, "ts": dtm.datetime(2024, 3, d, 12, 0)}
+            for i, d in enumerate(days)]
+    out = A.apply_agg(spark.createDataFrame(pd.DataFrame(rows)),
+                      A.DateHistogram("ts", "1d", min_doc_count=0,
+                                      time_zone="America/New_York"))
+    got = [(r["key"].strftime("%Y-%m-%dT%H"), r["doc_count"])
+           for r in out.collect()]
+    assert got == [("2024-03-08T05", 1), ("2024-03-09T05", 1),
+                   ("2024-03-10T05", 0), ("2024-03-11T04", 1),
+                   ("2024-03-12T04", 1)]
+
+
+# -- 3. numeric fill join on bucket index (no double-equality drops) ----------
+
+def test_numeric_fill_non_integral_interval(spark):
+    """interval=0.1 keys differ in the last ulp between the grouped floor
+    formula and lo + i*interval; the fill join must not drop counted
+    buckets."""
+    vals = [i / 10.0 + 0.05 for i in range(10)]  # one value per 0.1 bucket
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(10), "v": vals}))
+    out = A.apply_agg(df, A.Histogram("v", 0.1, min_doc_count=0,
+                                      extended_bounds=(0.0, 1.2)))
+    got = [(round(r["key"], 6), r["doc_count"]) for r in out.collect()]
+    # every data bucket keeps its count; the two extension buckets are empty
+    assert sum(c for _, c in got) == 10
+    assert all(c == 1 for k, c in got if k < 0.95)
+    assert [c for k, c in got if k > 0.95] == [0, 0, 0]  # 1.0, 1.1, 1.2
+    assert len(got) == 13
+
+
+# -- 4. hard_bounds mid-bucket keeps the boundary bucket ----------------------
+
+def test_histogram_hard_bounds_mid_bucket(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(40), "v": [float(i) for i in range(40)]}))
+    out = A.apply_agg(df, A.Histogram("v", 10.0, hard_bounds=(5.0, 25.0)))
+    got = [(r["key"], r["doc_count"]) for r in out.collect()]
+    # 5 falls inside bucket 0 and 25 inside bucket 20 -> both kept
+    assert got == [(0.0, 10), (10.0, 10), (20.0, 10)]
+
+
+def test_date_histogram_hard_bounds_mid_bucket(spark):
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [{"doc_id": i, "ts": dtm.datetime(2024, 1, 1 + i, 6, 0)}
+            for i in range(6)]
+    out = A.apply_agg(spark.createDataFrame(pd.DataFrame(rows)),
+                      A.DateHistogram("ts", "1d", hard_bounds=(
+                          "2024-01-02T12:00:00", "2024-01-04T12:00:00")))
+    got = [(r["key"].strftime("%Y-%m-%d"), r["doc_count"])
+           for r in out.collect()]
+    # both mid-day bounds keep their containing day buckets
+    assert got == [("2024-01-02", 1), ("2024-01-03", 1), ("2024-01-04", 1)]
