@@ -243,18 +243,44 @@ ORDER BY {total} DESC, COALESCE(a.doc_id, b.doc_id) ASC LIMIT {k}"""
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
+    # ---- priority block: the correctness harness records the FIRST 50 dict
+    # entries only, so never/least-recently verified operators come first
+    # (round-3 verdict item 3) — sampling/splits, multimodal plumbing,
+    # fingerprint/lang-id, and this round's 4-term sloppy phrase.
+    from tantivy4java_spark.pipeline import sampling as SM
+    q["t05_hash_split"] = lambda sp, sf: (
+        SM.hash_split(_docs(sp, sf), "doc_id",
+                      {"train": 0.75, "val": 0.125, "test": 0.125})
+        .groupBy("split").agg(F.count(F.lit(1)).alias("doc_count")))
+    q["t06_stratified_sample"] = lambda sp, sf: (
+        SM.stratified_hash_sample(_docs(sp, sf), ["lang"], "doc_id", 0.25)
+        .select("doc_id", "lang"))
+    q["m01_media_features"] = lambda sp, sf: (
+        MM.extract_features(MM.synthesize_media_df(sp, n=48))
+        .select("media_id", "kind", "sha256", "n_bytes"))
+    q["m02_frame_plan"] = lambda sp, sf: (
+        MM.frame_sample_plan(MM.synthesize_media_df(sp, n=48), every_ms=500)
+        .groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames")))
+    q["t03_fingerprint"] = lambda sp, sf: (
+        TX.fingerprint(_docs(sp, sf), "text").select("doc_id", "fp"))
+    q["t04_lang_id"] = lambda sp, sf: (
+        TX.lang_id(_docs(sp, sf), "text").select("doc_id", "lang_pred"))
+    # 4-term phrase with slop: cumulative total-moves budget (round-3 verdict
+    # item 1) — "column merge big hash" only matches via a skipped token, so
+    # slop<2 yields zero hits and slop=2 finds the skip-gram docs
+    q["q31_phrase4_slop2"] = lambda sp, sf: _topk(
+        sp, sf, Q.Phrase("text", ["column", "merge", "big", "hash"], slop=2))
+
     # ---- search algebra (SURVEY §2.2) over the real index -----------------
     q["q01_term"] = lambda sp, sf: _topk(sp, sf, Q.Term("text", "merge"))
-    q["q02_term_highdf"] = lambda sp, sf: _topk(sp, sf, Q.Term("text", "the"))
+    # high-df term, deep top-k (folds the former q19_topk100 probe)
+    q["q02_term_highdf"] = lambda sp, sf: _topk(
+        sp, sf, Q.Term("text", "the"), k=100)
     q["q03_bool_and"] = lambda sp, sf: _topk(
         sp, sf, Q.Boolean(must=[Q.Term("text", "merge"), Q.Term("text", "join")]))
-    q["q04_bool_or"] = lambda sp, sf: _topk(
-        sp, sf, Q.Boolean(should=[Q.Term("text", "spark"), Q.Term("text", "vector")]))
     q["q05_or_not"] = lambda sp, sf: _topk(
         sp, sf, Q.Boolean(should=[Q.Term("text", "spark"), Q.Term("text", "vector")],
                           must_not=[Q.Term("lang", "zh")]))
-    q["q06_field_scoped"] = lambda sp, sf: _topk(
-        sp, sf, Q.Boolean(must=[Q.Term("lang", "en"), Q.Term("text", "merge")]))
     q["q07_phrase"] = lambda sp, sf: _topk(
         sp, sf, Q.Phrase("text", ["batch", "stream"], slop=0))
     q["q08_termset"] = lambda sp, sf: (
@@ -291,7 +317,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q18_exists"] = lambda sp, sf: (
         _searcher(sp, sf).score_query(Q.Exists("n_chars"))
         .agg(F.count(F.lit(1)).alias("n")))
-    q["q19_topk100"] = lambda sp, sf: _topk(sp, sf, Q.Term("text", "the"), k=100)
     def _q23(sp, sf):
         s = _searcher(sp, sf)
         s.set_doc_source(_docs(sp, sf))  # one-row seed lookup, no shard decode
@@ -316,10 +341,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         limit=10)
         return hits.select("doc_id", F.round("score", 6).alias("score"))
     q["q26_json_phrase"] = _q26
-    # IP field + CIDR rewrite (O5, full IPv6 hex32 fast column) in the driver
-    q["q27_ip_cidr"] = lambda sp, sf: (
-        _enriched_searcher(sp, sf)
-        .score_query(Q.Term("client_ip", "10.2.0.0/16")).select("doc_id"))
     # delete_by_query (S6): tombstones hide docs from every later search
     def _q28(sp, sf):
         import shutil
@@ -347,13 +368,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["q20_json_term"] = lambda sp, sf: (
         _events_searcher(sp, sf).score_query(Q.Term("props.k", 87))
         .select("doc_id", F.round("score", 6).alias("score")))
-    q["q21_json_range"] = lambda sp, sf: (
-        _events_searcher(sp, sf).score_query(
-            Q.Range("props.k", 10, 20, True, True))
-        .select("doc_id", F.col("score").cast("double").alias("score")))
-    q["q22_json_exists"] = lambda sp, sf: (
-        _events_searcher(sp, sf).score_query(Q.Exists("props.k"))
-        .agg(F.count(F.lit(1)).alias("n")))
     # typed DATE range through the query-string parser (microsecond bounds)
     def _q24(sp, sf):
         sp.conf.set("spark.sql.session.timeZone", "UTC")
@@ -374,11 +388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["a03_histogram"] = lambda sp, sf: A.apply_agg(
         _events(sp, sf), A.Histogram("value", interval=10.0)
     ).select("key", "doc_count")
-    def _a04(sp, sf):
-        sp.conf.set("spark.sql.session.timeZone", "UTC")  # match DuckDB naive ts
-        return A.apply_agg(_events(sp, sf), A.DateHistogram("ts", "1d")) \
-            .select(F.date_format("key", "yyyy-MM-dd").alias("day"), "doc_count")
-    q["a04_date_histogram"] = _a04
     # calendar_interval + time_zone tail (DateHistogramAggregation.java:92-165):
     # month buckets aligned to America/New_York wall-clock, keys as UTC instants
     def _a04b(sp, sf):
@@ -473,30 +482,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", "n_tokens", "n_bpe"))
     q["t02_quality"] = lambda sp, sf: (
         TX.quality_score(_docs(sp, sf), "text").select("doc_id", "quality"))
-    q["t03_fingerprint"] = lambda sp, sf: (
-        TX.fingerprint(_docs(sp, sf), "text").select("doc_id", "fp"))
-    q["t04_lang_id"] = lambda sp, sf: (
-        TX.lang_id(_docs(sp, sf), "text").select("doc_id", "lang_pred"))
-    # deterministic hash-bucket train/val/test split (stable under re-runs
-    # and corpus growth — df.sample() is not); binary-exact fractions so the
-    # cumulative bounds replay bit-identically in SQL
-    from tantivy4java_spark.pipeline import sampling as SM
-    q["t05_hash_split"] = lambda sp, sf: (
-        SM.hash_split(_docs(sp, sf), "doc_id",
-                      {"train": 0.75, "val": 0.125, "test": 0.125})
-        .groupBy("split").agg(F.count(F.lit(1)).alias("doc_count")))
-    # per-stratum deterministic sample (per-language audit sampling)
-    q["t06_stratified_sample"] = lambda sp, sf: (
-        SM.stratified_hash_sample(_docs(sp, sf), ["lang"], "doc_id", 0.25)
-        .select("doc_id", "lang"))
 
-    # ---- multimodal plumbing (stubbed decode; rows-only check) --------------
-    q["m01_media_features"] = lambda sp, sf: (
-        MM.extract_features(MM.synthesize_media_df(sp, n=48))
-        .select("media_id", "kind", "sha256", "n_bytes"))
-    q["m02_frame_plan"] = lambda sp, sf: (
-        MM.frame_sample_plan(MM.synthesize_media_df(sp, n=48), every_ms=500)
-        .groupBy("media_id").agg(F.count(F.lit(1)).alias("n_frames")))
+    # ---- parked tail (positions 51+, beyond the harness's 50-row window) --
+    # Each is oracle-green in BOTH r02 and r03 and its operator family keeps
+    # an in-window probe: q27 CIDR (ip-range path covered by q30), q21 json
+    # range (q20/q22-family), q22 json exists (q18 exists + q20 json), a04
+    # plain date_histogram (a04b calendar/tz superset).
+    q["q27_ip_cidr"] = lambda sp, sf: (
+        _enriched_searcher(sp, sf)
+        .score_query(Q.Term("client_ip", "10.2.0.0/16")).select("doc_id"))
+    q["q21_json_range"] = lambda sp, sf: (
+        _events_searcher(sp, sf).score_query(
+            Q.Range("props.k", 10, 20, True, True))
+        .select("doc_id", F.col("score").cast("double").alias("score")))
+    q["q22_json_exists"] = lambda sp, sf: (
+        _events_searcher(sp, sf).score_query(Q.Exists("props.k"))
+        .agg(F.count(F.lit(1)).alias("n")))
+    def _a04(sp, sf):
+        sp.conf.set("spark.sql.session.timeZone", "UTC")  # match DuckDB naive ts
+        return A.apply_agg(_events(sp, sf), A.DateHistogram("ts", "1d")) \
+            .select(F.date_format("key", "yyyy-MM-dd").alias("day"), "doc_count")
+    q["a04_date_histogram"] = _a04
 
     return q
 
@@ -504,15 +510,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o: dict[str, str] = {}
     o["q01_term"] = _single_term_sql("merge")
-    o["q02_term_highdf"] = _single_term_sql("the")
+    o["q02_term_highdf"] = _single_term_sql("the", k=100)
     o["q03_bool_and"] = _and2_sql(_term_cte("a", "merge"), _term_cte("b", "join"))
-    o["q04_bool_or"] = _or2_sql(_term_cte("a", "spark"), _term_cte("b", "vector"))
     o["q05_or_not"] = _or2_sql(
         _term_cte("a", "spark"), _term_cte("b", "vector"),
         not_where=("WHERE COALESCE(a.doc_id, b.doc_id) NOT IN "
                    "(SELECT doc_id FROM documents WHERE lang = 'zh')"))
-    o["q06_field_scoped"] = _and2_sql(_keyword_cte("a", "lang", "en"),
-                                      _term_cte("b", "merge"))
 
     # phrase "batch stream" slop 0: positional adjacency, combined idf
     o["q07_phrase"] = _base_ctes() + _term_cte("a", "batch") + \
@@ -657,7 +660,41 @@ ORDER BY n_chars DESC, doc_id ASC LIMIT 10 OFFSET 5"""
 
     o["q17_matchall_count"] = "SELECT count(*) AS n FROM documents"
     o["q18_exists"] = "SELECT count(*) AS n FROM documents WHERE n_chars IS NOT NULL"
-    o["q19_topk100"] = _single_term_sql("the", k=100)
+
+    # q31: 4-term phrase, slop=2, CUMULATIVE total-moves budget.  tf counts
+    # anchors p0 with ANY in-order assignment (p1,p2,p3) whose summed excess
+    # (p1-p0-1)+(p2-p0-2)+(p3-p0-3) <= slop — greedy minimal-next in the
+    # engine finds a match iff one exists, so the counts agree exactly.
+    _pw = ["column", "merge", "big", "hash"]
+    _pos4 = ",\n".join(
+        f"pp{i} AS (SELECT doc_id, list_filter(range(1, len(t)+1), "
+        f"i -> t[i] = '{w}') ps FROM toks)" for i, w in enumerate(_pw))
+    _tf4 = """len(list_filter(p0.ps, a ->
+      len(list_filter(p1.ps, b -> b > a AND
+        len(list_filter(p2.ps, c -> c > b AND
+          len(list_filter(p3.ps, d -> d > c AND
+            (b-a-1)+(c-a-2)+(d-a-3) <= 2)) > 0)) > 0)) > 0))"""
+    o["q31_phrase4_slop2"] = _base_ctes() + "".join(
+        _term_cte(al, w) for al, w in zip("abcd", _pw)) + f""",
+{_pos4},
+p4tf AS (SELECT p0.doc_id, {_tf4} tf
+         FROM pp0 p0 JOIN pp1 p1 ON p1.doc_id = p0.doc_id
+                     JOIN pp2 p2 ON p2.doc_id = p0.doc_id
+                     JOIN pp3 p3 ON p3.doc_id = p0.doc_id),
+p4df AS (SELECT (SELECT count(*)::DOUBLE FROM tf_a) dfa,
+                (SELECT count(*)::DOUBLE FROM tf_b) dfb,
+                (SELECT count(*)::DOUBLE FROM tf_c) dfc,
+                (SELECT count(*)::DOUBLE FROM tf_d) dfd),
+p4 AS (SELECT f.doc_id,
+    ((ln(1.0 + (s.n - d.dfa + 0.5) / (d.dfa + 0.5)) * {_IDFW})
+     + (ln(1.0 + (s.n - d.dfb + 0.5) / (d.dfb + 0.5)) * {_IDFW})
+     + (ln(1.0 + (s.n - d.dfc + 0.5) / (d.dfc + 0.5)) * {_IDFW})
+     + (ln(1.0 + (s.n - d.dfd + 0.5) / (d.dfd + 0.5)) * {_IDFW})) * f.tf /
+    (f.tf + {K1} * ({1.0 - B} + {B} * q.ql / s.avgdl)) raw
+  FROM p4tf f, p4df d, stats s, qlens q
+  WHERE q.doc_id = f.doc_id AND f.tf > 0)
+SELECT doc_id, round(raw, 6) AS score FROM p4
+ORDER BY raw DESC, doc_id ASC LIMIT 10"""
 
     # JSON path queries over events.props ('{"k": <int>}' shape).
     # BM25 with one (path,token) pair per doc: tf=1, quantized len=1, avgdl =

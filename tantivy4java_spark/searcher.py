@@ -1321,9 +1321,12 @@ def _phrase_freq(arrays: List[np.ndarray], slop: int) -> int:
         return int(anchors.size)
     # slop>0: all anchors advance together, one searchsorted per phrase term
     # (positions are sorted: codec.decode_positions is a cumsum of gaps).
-    # Greedy minimal-next is optimal here: any larger candidate only uses
-    # more budget, so if the smallest position > prev violates the bound no
-    # candidate satisfies it.
+    # Greedy minimal-next is optimal: picking the smallest feasible q_i
+    # minimizes q_i itself AND every later choice, hence minimizes the
+    # CUMULATIVE moves sum — if the greedy sequence busts the budget, no
+    # assignment for this anchor satisfies it.  budget_used accumulates
+    # each term's excess (Lucene total-moves: moving token i left by
+    # q_i - q_0 - i positions costs that many moves).
     p0 = arrays[0].astype(np.int64)
     prev = p0.copy()
     budget_used = np.zeros_like(p0)
@@ -1332,10 +1335,11 @@ def _phrase_freq(arrays: List[np.ndarray], slop: int) -> int:
         idx = np.searchsorted(arr, prev + 1, side="left")
         has = idx < arr.size
         nxt = arr[np.minimum(idx, arr.size - 1)]
-        step_ok = has & (nxt <= p0 + i + (slop - budget_used))
+        excess = nxt - p0 - i
+        step_ok = has & (budget_used + excess <= slop)
         alive &= step_ok
         if not alive.any():
             return 0
-        budget_used = np.where(step_ok, nxt - p0 - i, budget_used)
+        budget_used = np.where(step_ok, budget_used + excess, budget_used)
         prev = np.where(step_ok, nxt, prev)
     return int(np.count_nonzero(alive))

@@ -291,36 +291,50 @@ def test_add_documents_with_user_doc_ids(spark, tmp_path):
 
 def test_phrase_freq_vectorized_matches_scalar_reference():
     """_phrase_freq slop>0 is a vectorized searchsorted sweep; pin it against
-    the straightforward per-anchor greedy loop on random position sets."""
+    an INDEPENDENT brute force over all in-order assignments (an anchor
+    matches iff ANY ordered choice of positions has total-moves sum
+    sum(q_i - q_0 - i) <= slop — Lucene total-moves, round-3 verdict)."""
+    import itertools
+
     import numpy as np
     from tantivy4java_spark.searcher import _phrase_freq
 
-    def scalar_ref(arrays, slop):
+    def brute_ref(arrays, slop):
         if any(a.size == 0 for a in arrays):
             return 0
         count = 0
         for p0 in arrays[0]:
-            prev, budget_used, ok = p0, 0, True
-            for i, arr in enumerate(arrays[1:], 1):
-                cand = arr[(arr > prev) & (arr <= p0 + i + (slop - budget_used))]
-                if cand.size == 0:
-                    ok = False
+            ok = False
+            for combo in itertools.product(*[list(a) for a in arrays[1:]]):
+                seq = [int(p0), *[int(c) for c in combo]]
+                if all(seq[i] > seq[i - 1] for i in range(1, len(seq))) and \
+                        sum(seq[i] - seq[0] - i
+                            for i in range(1, len(seq))) <= slop:
+                    ok = True
                     break
-                nxt = int(cand.min())
-                budget_used = nxt - p0 - i
-                prev = nxt
             if ok:
                 count += 1
         return count
 
     rng = np.random.default_rng(42)
-    for _ in range(500):
-        nterms = int(rng.integers(2, 5))
-        arrays = [np.unique(rng.integers(0, 40, size=int(rng.integers(0, 12)))
+    for _ in range(300):
+        nterms = int(rng.integers(2, 6))
+        arrays = [np.unique(rng.integers(0, 30, size=int(rng.integers(0, 7)))
                             .astype(np.int64)) for _ in range(nterms)]
         slop = int(rng.integers(1, 5))
-        assert _phrase_freq(arrays, slop) == scalar_ref(arrays, slop), \
+        assert _phrase_freq(arrays, slop) == brute_ref(arrays, slop), \
             (slop, [list(a) for a in arrays])
+
+
+def test_phrase_freq_four_terms_cumulative_budget():
+    """Round-3 verdict golden: per-term excesses (1,1,1) sum to 3 — the old
+    pairwise budget accepted it at slop=2; total-moves must not."""
+    import numpy as np
+    from tantivy4java_spark.searcher import _phrase_freq
+    arrays = [np.array([0], dtype=np.int64), np.array([2], dtype=np.int64),
+              np.array([3], dtype=np.int64), np.array([4], dtype=np.int64)]
+    assert _phrase_freq(arrays, 2) == 0
+    assert _phrase_freq(arrays, 3) == 1
 
 
 # -- 9. explain() for Phrase and Fuzzy -----------------------------------------
