@@ -48,6 +48,23 @@ def _timed(fn):
     return time.time() - t0, out
 
 
+# this sandbox's wall-clock noise is ±16-60% (co-tenant load); queries are
+# ~1 s, so best-of-N de-noises the per-query signal for ~2 extra seconds
+# each (round-3 verdict item 4).  Builds stay single-shot (they dominate
+# total wall time and their docs/sec aggregates over many tasks already).
+_REPS = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+
+
+def _timed_best(fn, reps: int = 0):
+    best = None
+    for _ in range(max(1, reps or _REPS)):
+        t0 = time.time()
+        fn()
+        dt = time.time() - t0
+        best = dt if best is None else min(best, dt)
+    return best
+
+
 def run_bench(spark, sf_dir: str, n_docs: int, workdir: str) -> dict:
     from pyspark.sql import functions as F
     from tantivy4java_spark import aggs as A
@@ -102,11 +119,11 @@ def run_bench(spark, sf_dir: str, n_docs: int, workdir: str) -> dict:
         "q_fuzzy": Q.Fuzzy("content", "shufle", 1),
     }
     for name, q in qset.items():
-        sec, rows = _timed(lambda q=q: s.search(q, limit=10).collect())
+        sec = _timed_best(lambda q=q: s.search(q, limit=10).collect())
         steps[name] = round(sec, 3)
-    sec, _ = _timed(lambda: s.search(Q.Term("content", "import"), limit=100).collect())
+    sec = _timed_best(lambda: s.search(Q.Term("content", "import"), limit=100).collect())
     steps["q_top100"] = round(sec, 3)
-    sec, _ = _timed(lambda: A.aggregate(
+    sec = _timed_best(lambda: A.aggregate(
         s, Q.Term("content", "shuffle"),
         {"by_lang": A.Terms("lang", size=10)})["by_lang"].collect())
     steps["q_agg_terms"] = round(sec, 3)
@@ -131,7 +148,7 @@ def run_bench(spark, sf_dir: str, n_docs: int, workdir: str) -> dict:
         doc_id_col="doc_id", num_segments=2))
     steps["build_documents"] = round(sec, 3)
     ds = IndexSearcher(spark, docs_dir)
-    sec, _ = _timed(lambda: ds.search(
+    sec = _timed_best(lambda: ds.search(
         Q.Boolean(must=[Q.Term("text", "merge"), Q.Term("lang", "en")]),
         limit=10).collect())
     steps["q_docs_bool"] = round(sec, 3)

@@ -156,6 +156,56 @@ def test_numeric_fill_non_integral_interval(spark):
     assert len(got) == 13
 
 
+# -- 6. batch-vectorized OSA edit distance ------------------------------------
+
+def test_osa_batch_matches_scalar():
+    import random
+    import string
+
+    import numpy as np
+    from tantivy4java_spark.searcher import _edit_distance, _osa_within_batch
+
+    rnd = random.Random(3)
+    alpha = "abcde"  # tight alphabet -> plenty of near-misses/transpositions
+    for _ in range(30):
+        query = "".join(rnd.choice(alpha) for _ in range(rnd.randint(2, 8)))
+        cap = rnd.randint(1, 2)
+        terms = ["".join(rnd.choice(alpha)
+                         for _ in range(rnd.randint(1, 10)))
+                 for _ in range(50)]
+        got = _osa_within_batch(query, terms, cap)
+        want = np.array([_edit_distance(query, t, cap, True) <= cap
+                         for t in terms])
+        assert (got == want).all(), (query, cap,
+                                     [t for t, g, w in zip(terms, got, want)
+                                      if g != w])
+    # transposition-specific: OSA says 1, classic Levenshtein says 2
+    assert _osa_within_batch("merge", ["mergé", "emrge", "mreged"], 1).tolist() \
+        == [True, True, False]
+
+
+def test_fuzzy_osa_end_to_end(spark, tmp_path):
+    """OSA fuzzy query through the index: a transposed term matches at
+    distance 1 with transposition_cost_one, not with classic."""
+    from tantivy4java_spark.build import build_index
+    docs = spark.createDataFrame(
+        [(0, "the emrge operator"), (1, "the merge operator"),
+         (2, "unrelated words here")], "doc_id long, text string")
+    cfg = IndexConfig(fields=[FieldConfig("text", "text")],
+                      id_cols=["doc_id"])
+    idx = str(tmp_path / "osa")
+    build_index(spark, docs, cfg, idx, doc_id_col="doc_id")
+    s = IndexSearcher(spark, idx)
+    osa_hits = {r["doc_id"] for r in s.score_query(
+        Q.Fuzzy("text", "merge", distance=1,
+                transposition_cost_one=True)).collect()}
+    assert osa_hits == {0, 1}
+    classic_hits = {r["doc_id"] for r in s.score_query(
+        Q.Fuzzy("text", "merge", distance=1,
+                transposition_cost_one=False)).collect()}
+    assert classic_hits == {1}
+
+
 # -- 4. hard_bounds mid-bucket keeps the boundary bucket ----------------------
 
 def test_histogram_hard_bounds_mid_bucket(spark):
@@ -165,6 +215,64 @@ def test_histogram_hard_bounds_mid_bucket(spark):
     got = [(r["key"], r["doc_count"]) for r in out.collect()]
     # 5 falls inside bucket 0 and 25 inside bucket 20 -> both kept
     assert got == [(0.0, 10), (10.0, 10), (20.0, 10)]
+
+
+# -- 5. batch-vectorized phrase tf + rarest-term pre-intersection -------------
+
+def test_phrase_freq_batch_matches_scalar():
+    """_phrase_freq_batch (lifted doc-offset sweep over a whole Arrow batch)
+    must agree with the per-doc scalar _phrase_freq on random ragged
+    batches, for slop 0 and slop>0."""
+    import numpy as np
+    from tantivy4java_spark import codec
+    from tantivy4java_spark.searcher import _phrase_freq, _phrase_freq_batch
+
+    rng = np.random.default_rng(11)
+    for trial in range(40):
+        nterms = int(rng.integers(2, 5))
+        ndocs = int(rng.integers(1, 30))
+        slop = int(rng.integers(0, 4))
+        docs = []
+        for _ in range(ndocs):
+            docs.append([np.unique(rng.integers(0, 50, size=int(
+                rng.integers(1, 10))).astype(np.int64))
+                for _ in range(nterms)])
+        bufs_per_term = [[codec.encode_positions(d[i]) for d in docs]
+                         for i in range(nterms)]
+        got = _phrase_freq_batch(bufs_per_term, slop)
+        want = np.array([_phrase_freq(d, slop) for d in docs], dtype=np.int64)
+        assert (got == want).all(), (trial, slop, got, want)
+
+
+def test_phrase_rare_term_preintersection_plan(spark, tmp_path):
+    """Stopword+rare phrase: the positions scan must be pruned by a
+    BROADCAST semi-join on the rare term's doc set before the groupBy
+    (round-3 verdict: phrase cost ~min-df, not sum-of-df), and the result
+    must equal the un-pruned semantics."""
+    rows = []
+    for i in range(300):
+        body = f"the filler number {i} goes the on and the on"
+        if i % 60 == 0:
+            body = f"the zebra crossing {i}"
+        rows.append((i, body))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = IndexConfig(fields=[FieldConfig("text", "text")],
+                      id_cols=["doc_id"])
+    idx = str(tmp_path / "ppidx")
+    from tantivy4java_spark.build import build_index
+    build_index(spark, docs, cfg, idx, doc_id_col="doc_id")
+    s = IndexSearcher(spark, idx)
+    q = Q.Phrase("text", ["the", "zebra"], slop=0)
+    scored = s.score_query(q)
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    hits = {r["doc_id"] for r in scored.collect()}
+    assert hits == {i for i in range(300) if i % 60 == 0}
+    # balanced dfs skip the extra scan (gate: sum(df) > 4*min(df))
+    bal = s.score_query(Q.Phrase("text", ["zebra", "crossing"], slop=0))
+    bplan = bal._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" not in bplan
+    assert bal.count() == 5
 
 
 def test_date_histogram_hard_bounds_mid_bucket(spark):
