@@ -31,12 +31,24 @@ from __future__ import annotations
 import json
 import re
 import time
+import uuid
 from typing import List, Optional
 
 from tantivy4java_spark import fsio
 
 _ACTION_FILE_RE = re.compile(r"^(\d{8})\.json$")
 _LEGACY = "manifest.jsonl"
+
+# write-verification for non-atomic create (raw S3's create-no-overwrite is
+# HEAD-then-PUT): "auto" verifies on scheme'd (object-store) roots only;
+# True forces it everywhere (tests simulate the racy create on posix).
+WRITE_VERIFY = "auto"
+
+
+def _verify_writes(index_dir: str) -> bool:
+    if WRITE_VERIFY == "auto":
+        return fsio.has_scheme(index_dir)
+    return bool(WRITE_VERIFY)
 
 
 def _dir(index_dir: str) -> str:
@@ -87,16 +99,33 @@ def append_action(spark, index_dir: str, action: dict,
 
     Create-exclusive + retry: a lost race against a concurrent writer
     re-lists and takes the next free version, so both writers' actions
-    survive (the round-2 read-modify-write could drop one)."""
+    survive (the round-2 read-modify-write could drop one).
+
+    On object-store roots (where create-no-overwrite is HEAD-then-PUT, not
+    atomic) every claimed version is READ BACK and compared against our
+    payload — each action carries a unique ``txn`` token, so a PUT-PUT
+    clobber is always detectable and the loser retries with the next
+    version instead of silently losing its action.  Residual window on raw
+    S3: both writers passing verification requires the second PUT to land
+    after the first writer's read-back — narrowed by the post-create delay,
+    eliminated entirely by any store with atomic create (posix, HDFS, abfs)
+    or an If-None-Match layer."""
     d = _dir(index_dir)
     fsio.makedirs(spark, d)
-    action = dict(action, ts=time.time())
+    action = dict(action, ts=time.time(), txn=uuid.uuid4().hex)
     payload = json.dumps(action, sort_keys=True)
+    verify = _verify_writes(index_dir)
     version = _next_version(spark, d)
     for _ in range(max_retries):
         path = fsio.join(d, f"{version:08d}.json")
         if fsio.create_text_exclusive(spark, path, payload):
-            return action
+            if not verify:
+                return action
+            time.sleep(0.01)  # let an in-flight racing PUT land first
+            if fsio.read_text(spark, path) == payload:
+                return action
+            # non-atomic create lost a PUT-PUT race (another writer's txn
+            # occupies this version) — our action is NOT durable; retry
         version = max(version + 1, _next_version(spark, d))
     raise RuntimeError(
         f"could not allocate a manifest version after {max_retries} "

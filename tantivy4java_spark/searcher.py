@@ -449,7 +449,9 @@ class IndexSearcher:
     # fully cluster-side (no driver collect of bounds, no isin literal)
     MAX_DRIVER_SHARD_ROWS = 200_000
 
-    def _score_regex(self, q) -> DataFrame:
+    def _regex_expansion(self, q) -> List[str]:
+        """Matched dictionary terms for a regex/wildcard query, bounded by
+        MAX_TERM_EXPANSIONS.  Shared by scoring and explain."""
         pattern = q.pattern if isinstance(q, Q.Regex) else Q.wildcard_to_regex(q.pattern)
         flags = ""
         if pattern.startswith("(?i)"):  # global flags must stay at position 0
@@ -465,7 +467,10 @@ class IndexSearcher:
                 f"pattern expands past {self.MAX_TERM_EXPANSIONS} terms; "
                 f"narrow it (wildcard cost model: leading-* patterns are "
                 f"expensive — wildcard_analysis.rs:23-96)")
-        terms = [r["term"] for r in expanded]
+        return [r["term"] for r in expanded]
+
+    def _score_regex(self, q) -> DataFrame:
+        terms = self._regex_expansion(q)
         if not terms:
             return self._empty_scored()
         decoded = self._decoded_postings([(q.field, t) for t in terms])
@@ -942,12 +947,24 @@ class IndexSearcher:
         tf = phrase frequency, df = combined-idf component count is in the
         per-word 'phrase-term' rows that follow).
         kind='fuzzy-term' emits one row per matched dictionary term with its
-        edit distance."""
+        edit distance.
+        kind='regex-term'/'wildcard-term'/'termset-term' emits one row per
+        matched dictionary term present in the doc; score is the constant
+        1.0 these queries contribute (AutomatonQuery const scorer)."""
         q = Q.normalize(q)
         if isinstance(q, Q.Phrase):
             return self._explain_phrase(q, doc_id)
         if isinstance(q, Q.Fuzzy):
             return self._explain_fuzzy(q, doc_id)
+        if isinstance(q, (Q.Regex, Q.Wildcard)):
+            kind = "regex-term" if isinstance(q, Q.Regex) else "wildcard-term"
+            return self._explain_expansion(
+                q.field, self._regex_expansion(q), kind, doc_id)
+        if isinstance(q, Q.TermSet):
+            terms = [t for t in (self.query_term(q.field, v)
+                                 for v in q.values) if t is not None]
+            return self._explain_expansion(q.field, terms, "termset-term",
+                                           doc_id)
         terms: List[Tuple[str, str]] = []
 
         def walk(node):
@@ -984,6 +1001,31 @@ class IndexSearcher:
             F.lit(float(self.num_docs)).alias("num_docs"),
             F.lit(None).cast("int").alias("distance"),
             F.col("score"))
+
+    def _explain_expansion(self, field: str, terms: List[str], kind: str,
+                           doc_id: int) -> DataFrame:
+        """Component rows for multi-term const-score expansions (regex /
+        wildcard / termset): one row per matched dictionary term the doc
+        actually contains, with its tf/df; score = the constant 1.0."""
+        if not terms:
+            return self.spark.createDataFrame([], self._EXPLAIN_SCHEMA)
+        pairs = [(field, t) for t in dict.fromkeys(terms)]
+        shard = doc_id >> self._meta.get("shard_bits", 16)
+        decoded = self._decoded_postings(pairs, shards=[shard]) \
+            .filter(F.col("doc_id") == doc_id)
+        dfs = self.term_dfs(pairs)
+        df_map = F.create_map(*[x for (fld, trm), d in dfs.items()
+                                for x in (F.lit(fld + "\x00" + trm),
+                                          F.lit(int(d)))])
+        key = F.concat_ws("\x00", F.col("field"), F.col("term"))
+        return decoded.select(
+            F.lit(kind).alias("kind"),
+            "field", "term", "doc_id", "tf", "norm_id",
+            _fieldnorm_len_col(F.col("norm_id")).alias("quantized_len"),
+            F.element_at(df_map, key).cast("long").alias("df"),
+            F.lit(float(self.num_docs)).alias("num_docs"),
+            F.lit(None).cast("int").alias("distance"),
+            F.lit(1.0).alias("score"))
 
     def _explain_phrase(self, q: Q.Phrase, doc_id: int) -> DataFrame:
         comp = self._phrase_components(q)

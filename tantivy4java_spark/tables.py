@@ -84,16 +84,52 @@ def current_snapshot(spark: SparkSession, ref: TableRef) -> Optional[int]:
     return None
 
 
+class NonAppendSnapshotError(ValueError):
+    """The Iceberg incremental append scan cannot represent the range: a
+    snapshot in (from, now] is an overwrite/delete/replace (MERGE, rewrite,
+    compaction).  Callers fall back to a full-scan content-hash diff."""
+
+
+def _nonappend_ops_in_range(snapshots, from_snapshot: int) -> List[str]:
+    """Non-append operations committed AFTER `from_snapshot`, given the
+    collected (snapshot_id, committed_at, operation) rows of the
+    `.snapshots` metadata table.  An unknown `from_snapshot` (expired by
+    snapshot retention) counts as non-append: the range is not replayable.
+    Pure function so the restriction check is unit-testable without an
+    Iceberg runtime."""
+    by_id = {int(s[0]): s for s in snapshots}
+    if int(from_snapshot) not in by_id:
+        return ["<from-snapshot expired>"]
+    t0 = by_id[int(from_snapshot)][1]
+    return [str(s[2]) for s in snapshots
+            if s[1] > t0 and str(s[2] or "").lower() != "append"]
+
+
 def changes_between(spark: SparkSession, ref: TableRef,
                     from_snapshot: int) -> DataFrame:
     """Rows appended/changed after `from_snapshot` (exclusive), engine-native
     (getChangesSince analog, IcebergTableReader.java:543):
-    - iceberg: incremental append scan (start-snapshot-id exclusive)
+    - iceberg: incremental append scan (start-snapshot-id exclusive).
+      RESTRICTION: the scan replays append snapshots only — if the range
+      contains an overwrite/delete/replace snapshot (MERGE, rewrite_files,
+      expire), raises NonAppendSnapshotError instead of erroring mid-read
+      or silently missing updated rows; index_table_changes catches it and
+      falls back to the content-hash diff.
     - delta: Change Data Feed when enabled, else version-diff via
       readVersionAsOf anti-join is the caller's fallback (we surface CDF
       because it is the O(delta) path a 100-TB table needs)
     """
     if ref.fmt == "iceberg":
+        snaps = spark.sql(
+            f"SELECT snapshot_id, committed_at, operation "
+            f"FROM {ref.location}.snapshots").collect()
+        bad = _nonappend_ops_in_range(snaps, int(from_snapshot))
+        if bad:
+            raise NonAppendSnapshotError(
+                f"snapshot range after {from_snapshot} on {ref.location} "
+                f"contains non-append operations {bad}; the incremental "
+                f"append scan cannot replay it — use a full-scan "
+                f"content-hash diff")
         return (spark.read.format("iceberg")
                 .option("start-snapshot-id", str(from_snapshot))
                 .table(ref.location))
@@ -154,8 +190,25 @@ def index_table_changes(spark: SparkSession, config: IndexConfig,
     if last is not None and int(last) == int(now):
         return {"action": "noop", "num_docs": 0, "snapshot_id": int(now)}
 
-    delta = (read_table(spark, ref) if last is None
-             else changes_between(spark, ref, int(last)))
+    if last is None:
+        delta = read_table(spark, ref)
+    else:
+        try:
+            delta = changes_between(spark, ref, int(last))
+        except NonAppendSnapshotError:
+            # MERGE/rewrite in the range: the append scan can't replay it.
+            # Fall back to the content-hash diff over the current snapshot —
+            # correct for any history at the cost of one full scan (it
+            # maintains its own hash snapshot under _snapshot, so repeated
+            # fallbacks only re-index genuinely changed rows).
+            act = streaming.index_changes(
+                spark, config, index_dir, read_table(spark, ref),
+                fsio.join(index_dir, "_snapshot"), key_cols,
+                commit=commit, on_update=on_update)
+            _write_state(spark, index_dir, {"snapshot_id": int(now),
+                                            "fmt": ref.fmt,
+                                            "location": ref.location})
+            return dict(act, snapshot_id=int(now), fallback="content-hash")
     delta = delta.persist()
     try:
         n = delta.count()
@@ -164,11 +217,16 @@ def index_table_changes(spark: SparkSession, config: IndexConfig,
                                             "fmt": ref.fmt,
                                             "location": ref.location})
             return {"action": "noop", "num_docs": 0, "snapshot_id": int(now)}
-        if on_update == "tombstone":
-            streaming._tombstone_prior_versions(spark, index_dir, delta,
-                                                list(key_cols))
+        if on_update in ("tombstone", "upsert_rewrite"):
+            _, n_reused = streaming._tombstone_prior_versions(
+                spark, index_dir, delta, list(key_cols),
+                refuse_on_reuse=(on_update == "tombstone"))
+            if n_reused:
+                from tantivy4java_spark.maintenance import apply_deletes
+                apply_deletes(spark, index_dir)
         elif on_update != "append":
-            raise ValueError(f"on_update must be 'tombstone' or 'append', "
+            raise ValueError(f"on_update must be 'tombstone', "
+                             f"'upsert_rewrite' or 'append', "
                              f"got {on_update!r}")
         action = streaming.add_documents(spark, config, index_dir, delta,
                                          commit=commit)

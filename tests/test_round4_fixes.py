@@ -156,6 +156,101 @@ def test_numeric_fill_non_integral_interval(spark):
     assert len(got) == 13
 
 
+# -- 9. iceberg append-only range detection (pure, runtime-free) --------------
+
+def test_nonappend_ops_in_range():
+    from tantivy4java_spark.tables import _nonappend_ops_in_range
+    snaps = [(1, 100, "append"), (2, 200, "append"),
+             (3, 300, "overwrite"), (4, 400, "append")]
+    assert _nonappend_ops_in_range(snaps, 3) == []        # only appends after
+    assert _nonappend_ops_in_range(snaps, 1) == ["overwrite"]
+    assert _nonappend_ops_in_range(snaps, 4) == []
+    # expired/unknown from-snapshot: not replayable
+    assert _nonappend_ops_in_range(snaps, 99) == ["<from-snapshot expired>"]
+
+
+# -- 8. explain() components for regex / wildcard / termset -------------------
+
+def test_explain_regex_wildcard_termset(spark, tmp_path):
+    from tantivy4java_spark.build import build_index
+    docs = spark.createDataFrame(
+        [(0, "merge merger mercy", "en"), (1, "vector window", "de")],
+        "doc_id long, text string, lang string")
+    cfg = IndexConfig(fields=[FieldConfig("text", "text"),
+                              FieldConfig("lang", "string")],
+                      id_cols=["doc_id"])
+    idx = str(tmp_path / "expl4")
+    build_index(spark, docs, cfg, idx, doc_id_col="doc_id")
+    s = IndexSearcher(spark, idx)
+
+    wrows = s.explain(Q.Wildcard("text", "mer*"), 0).collect()
+    assert {r.kind for r in wrows} == {"wildcard-term"}
+    assert {r.term for r in wrows} == {"merge", "merger", "mercy"}
+    assert all(r.score == 1.0 and r.df == 1 and r.tf == 1 for r in wrows)
+
+    rrows = s.explain(Q.Regex("text", "merge.?"), 0).collect()
+    assert {r.term for r in rrows} == {"merge", "merger"}
+    assert {r.kind for r in rrows} == {"regex-term"}
+
+    trows = s.explain(Q.TermSet("lang", ["en", "de"]), 0).collect()
+    assert [(r.kind, r.term) for r in trows] == [("termset-term", "en")]
+
+    # a doc that matches none of the expansion gets zero component rows
+    assert s.explain(Q.Wildcard("text", "mer*"), 1).count() == 0
+
+
+# -- 7. manifest append survives a NON-atomic create (raw-S3 shape) -----------
+
+def test_manifest_contended_append_nonatomic_create(spark, tmp_path,
+                                                    monkeypatch):
+    """Simulate raw S3: create-no-overwrite as HEAD-then-PUT with a
+    scheduling gap and last-writer-wins PUT.  With write verification on,
+    every racing writer's action must still land (the loser detects the
+    clobber via its txn token and retries the next version)."""
+    import os
+    import random
+    import threading
+    import time as _t
+
+    from tantivy4java_spark import fsio, manifest
+
+    idx = str(tmp_path / "s3sim")
+
+    def racy_create(sp, path, text):
+        if os.path.exists(path):  # HEAD
+            return False
+        _t.sleep(random.random() * 0.005)  # gap before the PUT lands
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        with open(path, "w") as fh:  # plain PUT: silently overwrites
+            fh.write(text)
+        return True
+
+    monkeypatch.setattr(fsio, "create_text_exclusive", racy_create)
+    monkeypatch.setattr(manifest, "WRITE_VERIFY", True)
+
+    n_writers, per_writer = 6, 8
+    errs = []
+
+    def writer(wid):
+        try:
+            for i in range(per_writer):
+                manifest.append_action(spark, idx,
+                                       {"action": "probe", "w": wid, "i": i})
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(w,))
+               for w in range(n_writers)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errs
+    acts = manifest.read_actions(spark, idx)
+    got = {(a["w"], a["i"]) for a in acts if "w" in a}
+    assert got == {(w, i) for w in range(n_writers) for i in range(per_writer)}
+
+
 # -- 6. batch-vectorized OSA edit distance ------------------------------------
 
 def test_osa_batch_matches_scalar():
