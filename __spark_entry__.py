@@ -417,6 +417,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         A.aggregate(_searcher(sp, sf), Q.Term("text", "merge"),
                     {"by_lang": A.Terms("lang", size=10)})["by_lang"]
         .select("lang", "doc_count"))
+    # nested bucket sub-aggregation (DateHistogramAggregationTest.java:569):
+    # per-day buckets, each with its top-3 event_type terms
+    def _a09(sp, sf):
+        sp.conf.set("spark.sql.session.timeZone", "UTC")
+        return A.apply_agg(_events(sp, sf), A.DateHistogram(
+            "ts", "1d", sub={"types": A.Terms("event_type", size=3)})) \
+            .select(F.date_format("key", "yyyy-MM-dd").alias("day"),
+                    "doc_count", "types_event_type", "types_doc_count")
+    q["a09_nested_buckets"] = _a09
 
     # ---- dedup -------------------------------------------------------------
     def _docs_with_copies(sp, sf):
@@ -485,8 +494,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- parked tail (positions 51+, beyond the harness's 50-row window) --
     # Each is oracle-green in BOTH r02 and r03 and its operator family keeps
-    # an in-window probe: q27 CIDR (ip-range path covered by q30), q21 json
-    # range (q20/q22-family), q22 json exists (q18 exists + q20 json), a04
+    # an in-window probe: t02 quality (t01/t03/t04 text family in-window),
+    # q27 CIDR (ip-range path covered by q30), q21 json range
+    # (q20/q22-family), q22 json exists (q18 exists + q20 json), a04
     # plain date_histogram (a04b calendar/tz superset).
     q["q27_ip_cidr"] = lambda sp, sf: (
         _enriched_searcher(sp, sf)
@@ -778,6 +788,18 @@ WITH toks AS (SELECT doc_id, lang, {_TOKS} t FROM documents),
 m AS (SELECT doc_id, lang FROM toks WHERE list_contains(t, 'merge'))
 SELECT lang, count(*) AS doc_count FROM m
 GROUP BY lang ORDER BY doc_count DESC, lang ASC LIMIT 10"""
+    o["a09_nested_buckets"] = """
+WITH g AS (SELECT time_bucket(INTERVAL '1 day', ts) k, event_type,
+                  count(*) c
+           FROM events GROUP BY 1, 2),
+w AS (SELECT k, event_type, c,
+             sum(c) OVER (PARTITION BY k) AS doc_count,
+             row_number() OVER (PARTITION BY k
+                                ORDER BY c DESC, event_type ASC) rn
+      FROM g)
+SELECT strftime(k, '%Y-%m-%d') AS day, doc_count::BIGINT AS doc_count,
+       event_type AS types_event_type, c::BIGINT AS types_doc_count
+FROM w WHERE rn <= 3 ORDER BY day, types_event_type"""
 
     # ---- dedup --------------------------------------------------------------
     _union = ("SELECT doc_id AS id, text FROM documents UNION ALL "

@@ -16,7 +16,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field as dc_field
 from typing import Dict, List, Optional, Sequence, Tuple
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -93,6 +93,8 @@ class Cardinality(Agg):
 
 
 _METRICS = (Count, Sum, Avg, Min, Max, Stats, Cardinality)
+# bucket agg classes (defined below); filled in after the definitions
+_BUCKETS: tuple = ()
 
 
 @dataclass
@@ -228,6 +230,9 @@ class RangeAgg(Agg):
         return expr
 
 
+_BUCKETS = (Terms, MultiTerms, Histogram, DateHistogram, RangeAgg)
+
+
 def _ts_lit(b) -> Column:
     """Timestamp literal from an ISO string / datetime bound (UTC-anchored,
     same rule as range-query bounds)."""
@@ -327,13 +332,91 @@ def _fill_numeric_buckets(out: DataFrame, agg: "Histogram") -> DataFrame:
             .na.fill({"doc_count": 0}))
 
 
+def _split_sub(sub: Dict[str, Agg]):
+    """Partition a sub-aggregation dict into (metrics, nested-bucket).
+    The reference nests bucket aggs one level deep (addSubAggregation with a
+    TermsAggregation, DateHistogramAggregationTest.java:569,629); mirrored
+    here: at most ONE bucket sub-agg, itself metrics-only."""
+    buckets = {n: a for n, a in sub.items() if isinstance(a, _BUCKETS)}
+    metrics = {n: a for n, a in sub.items() if not isinstance(a, _BUCKETS)}
+    for name, agg in metrics.items():
+        if not isinstance(agg, _METRICS):
+            raise TypeError(f"unknown sub-aggregation type for {name!r}")
+    if len(buckets) > 1:
+        raise TypeError("at most one bucket sub-aggregation per bucket")
+    if buckets:
+        if metrics:
+            raise TypeError(
+                "metric siblings next to a bucket sub-aggregation are not "
+                "supported (nest the metrics INSIDE the bucket sub-agg)")
+        (bname, bagg), = buckets.items()
+        if any(isinstance(a, _BUCKETS) for a in bagg.sub.values()):
+            raise TypeError("bucket sub-aggregations nest one level deep")
+        return {}, (bname, bagg)
+    return metrics, None
+
+
 def _sub_exprs(sub: Dict[str, Agg]) -> List[Column]:
     out: List[Column] = [F.count(F.lit(1)).alias("doc_count")]
-    for name, agg in sub.items():
-        if not isinstance(agg, _METRICS):
-            raise TypeError("sub-aggregations must be metric aggs")
+    metrics, nested = _split_sub(sub)
+    if nested is not None:
+        raise TypeError("bucket sub-aggregation reached the metric-only "
+                        "path (internal)")
+    for name, agg in metrics.items():
         out.extend(agg.exprs(name))
     return out
+
+
+def _inner_bucket_cols(name: str, agg: Agg):
+    """(group-by columns, output key column names) for a nested bucket,
+    prefixed with the sub-agg name so outer and inner keys never collide."""
+    if isinstance(agg, Terms):
+        return [F.col(agg.field).alias(f"{name}_{agg.field}")], \
+            [f"{name}_{agg.field}"]
+    if isinstance(agg, MultiTerms):
+        cols = [F.col(f).alias(f"{name}_{f}") for f in agg.fields]
+        return cols, [f"{name}_{f}" for f in agg.fields]
+    if isinstance(agg, (Histogram, DateHistogram)):
+        return [agg.key_col().alias(f"{name}_key")], [f"{name}_key"]
+    if isinstance(agg, RangeAgg):
+        return [agg.key_col().alias(f"{name}_key")], [f"{name}_key"]
+    raise TypeError(f"unsupported nested bucket {type(agg).__name__}")
+
+
+def _nested_bucket_agg(df: DataFrame, outer_cols: List[Column],
+                       outer_names: List[str], nested) -> DataFrame:
+    """ONE groupBy on (outer keys x inner keys) — a single shuffle keyed by
+    the combined bucket key (bounded cardinality, no skew amplification) —
+    then a window over the tiny bucket-row table for the per-outer-bucket
+    inner cut and the outer doc_count.  Output is flat rows:
+    (outer keys..., doc_count, <name>_<innerkey>..., <name>_doc_count,
+    inner metric columns) — the DataFrame-native shape of the reference's
+    nested JSON buckets."""
+    name, inner = nested
+    in_cols, in_names = _inner_bucket_cols(name, inner)
+    if isinstance(inner, RangeAgg):
+        df = df.filter(in_cols[0].isNotNull())
+    inner_metrics = [c for mname, m in inner.sub.items()
+                     for c in m.exprs(mname)] if inner.sub else []
+    for m in (inner.sub or {}).values():
+        if not isinstance(m, _METRICS):
+            raise TypeError("bucket sub-aggregations nest one level deep")
+    grouped = (df.groupBy(*outer_cols, *in_cols)
+               .agg(F.count(F.lit(1)).alias(f"{name}_doc_count"),
+                    *inner_metrics))
+    w = Window.partitionBy(*outer_names)
+    # outer doc_count BEFORE any inner cut (the cut drops rows, not docs)
+    grouped = grouped.withColumn(
+        "doc_count", F.sum(f"{name}_doc_count").over(w))
+    if isinstance(inner, (Terms, MultiTerms)):
+        rn = F.row_number().over(
+            w.orderBy(F.desc(f"{name}_doc_count"),
+                      *[F.asc(k) for k in in_names]))
+        grouped = grouped.withColumn("_rn", rn) \
+            .filter(F.col("_rn") <= inner.size).drop("_rn")
+    front = [*outer_names, "doc_count", *in_names, f"{name}_doc_count"]
+    rest = [c for c in grouped.columns if c not in front]
+    return grouped.select(*front, *rest), in_names
 
 
 def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
@@ -344,8 +427,21 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
     if isinstance(agg, _METRICS):
         return df.agg(*agg.exprs(name))
     if isinstance(agg, (Terms, MultiTerms)):
-        grouped = df.groupBy(*agg.group_cols()).agg(*_sub_exprs(agg.sub))
         keys = [agg.field] if isinstance(agg, Terms) else list(agg.fields)
+        _, nested = _split_sub(agg.sub)
+        if nested is not None:
+            out, in_names = _nested_bucket_agg(df, agg.group_cols(), keys,
+                                               nested)
+            # top-size OUTER buckets (dense_rank: every inner row of a
+            # bucket shares (doc_count, keys), so ranks are per-bucket)
+            rank = F.dense_rank().over(
+                Window.orderBy(F.desc("doc_count"),
+                               *[F.asc(k) for k in keys]))
+            return (out.withColumn("_r", rank)
+                    .filter(F.col("_r") <= agg.size).drop("_r")
+                    .orderBy(F.desc("doc_count"), *[F.asc(k) for k in keys],
+                             *[F.asc(k) for k in in_names]))
+        grouped = df.groupBy(*agg.group_cols()).agg(*_sub_exprs(agg.sub))
         # deterministic bucket cut: count desc, then every key asc
         return (grouped.orderBy(F.desc("doc_count"),
                                 *[F.asc(k) for k in keys])
@@ -360,6 +456,17 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
             kc_f = agg.key_col()
             df = df.filter((kc_f >= F.lit(float(lo)))
                            & (kc_f <= F.lit(float(hi))))
+        _, nested = _split_sub(agg.sub)
+        if nested is not None:
+            if agg.min_doc_count == 0 and agg.extended_bounds is not None:
+                raise ValueError("empty-bucket fill (extended_bounds with "
+                                 "min_doc_count=0) is not supported with a "
+                                 "nested bucket sub-aggregation")
+            out, in_names = _nested_bucket_agg(df, [kc.alias("key")],
+                                               ["key"], nested)
+            if agg.min_doc_count > 0:
+                out = out.filter(F.col("doc_count") >= agg.min_doc_count)
+            return out.orderBy("key", *in_names)
         out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub))
         if agg.min_doc_count > 0:
             out = out.filter(F.col("doc_count") >= agg.min_doc_count)
@@ -375,6 +482,17 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
                       for b in agg.hard_bounds]
             kc_f = agg.key_col()
             df = df.filter((kc_f >= lo) & (kc_f <= hi))
+        _, nested = _split_sub(agg.sub)
+        if nested is not None:
+            if agg.min_doc_count == 0:
+                raise ValueError("empty-bucket fill (min_doc_count=0) is "
+                                 "not supported with a nested bucket "
+                                 "sub-aggregation")
+            out, in_names = _nested_bucket_agg(df, [kc.alias("key")],
+                                               ["key"], nested)
+            if agg.min_doc_count > 1:
+                out = out.filter(F.col("doc_count") >= agg.min_doc_count)
+            return out.orderBy("key", *in_names)
         out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub))
         if agg.min_doc_count == 0:
             out = _fill_date_buckets(out, agg)
@@ -383,7 +501,12 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
         return out.orderBy("key")
     if isinstance(agg, RangeAgg):
         key = agg.key_col().alias("key")
-        return (df.filter(key.isNotNull())
+        _, nested = _split_sub(agg.sub)
+        if nested is not None:
+            out, in_names = _nested_bucket_agg(
+                df.filter(agg.key_col().isNotNull()), [key], ["key"], nested)
+            return out.orderBy("key", *in_names)
+        return (df.filter(agg.key_col().isNotNull())
                 .groupBy(key).agg(*_sub_exprs(agg.sub)).orderBy("key"))
     raise TypeError(f"unknown aggregation {type(agg).__name__}")
 

@@ -156,6 +156,73 @@ def test_numeric_fill_non_integral_interval(spark):
     assert len(got) == 13
 
 
+# -- 10. nested bucket sub-aggregations ---------------------------------------
+
+def _nested_fixture(spark):
+    rows = []
+    i = 0
+    for day in (1, 2, 3):
+        for et, n in (("click", 6 - day), ("view", 3), ("buy", 1)):
+            for _ in range(n):
+                rows.append({"doc_id": i, "ts": dtm.datetime(2024, 1, day),
+                             "event_type": et, "value": float(i % 40)})
+                i += 1
+    return spark.createDataFrame(pd.DataFrame(rows))
+
+
+def test_date_histogram_terms_nested(spark):
+    """DateHistogram -> Terms sub-aggregation (the reference's
+    DateHistogramAggregationTest.java:569 shape): flat rows, outer
+    doc_count = whole day, inner cut = top-size per day."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = _nested_fixture(spark)
+    out = A.apply_agg(df, A.DateHistogram(
+        "ts", "1d", sub={"types": A.Terms("event_type", size=2)}))
+    rows = [(r["key"].day, r["doc_count"], r["types_event_type"],
+             r["types_doc_count"]) for r in out.collect()]
+    # day1: click 5, view 3, buy 1 -> top2 click/view; outer doc_count 9
+    assert rows == [
+        (1, 9, "click", 5), (1, 9, "view", 3),
+        (2, 8, "click", 4), (2, 8, "view", 3),
+        (3, 7, "click", 3), (3, 7, "view", 3),
+    ]
+
+
+def test_terms_histogram_nested_with_metrics(spark):
+    """Terms -> Histogram with a metric INSIDE the inner bucket; outer size
+    cut keeps whole outer buckets (dense_rank, not row limit)."""
+    df = _nested_fixture(spark)
+    out = A.apply_agg(df, A.Terms("event_type", size=2, sub={
+        "hist": A.Histogram("value", 20.0, sub={"avg_v": A.Avg("value")})}))
+    rows = [(r["event_type"], r["doc_count"], r["hist_key"],
+             r["hist_doc_count"]) for r in out.collect()]
+    # click 12 total (values 0-19 -> one bucket), view 9 (buckets 0 and 20);
+    # buy (3) cut by size=2; every surviving outer bucket keeps ALL its
+    # inner buckets
+    assert rows == [("click", 12, 0.0, 12),
+                    ("view", 9, 0.0, 6), ("view", 9, 20.0, 3)]
+    avg_cols = [r["avg_v"] for r in out.collect()]
+    assert all(v is not None for v in avg_cols)
+
+
+def test_nested_bucket_errors(spark):
+    df = _nested_fixture(spark)
+    with pytest.raises(TypeError, match="at most one bucket"):
+        A.apply_agg(df, A.Terms("event_type", sub={
+            "a": A.Terms("event_type"), "b": A.Terms("event_type")}))
+    with pytest.raises(TypeError, match="metric siblings"):
+        A.apply_agg(df, A.Terms("event_type", sub={
+            "a": A.Terms("event_type"), "m": A.Avg("value")}))
+    with pytest.raises(TypeError, match="one level deep"):
+        A.apply_agg(df, A.Terms("event_type", sub={
+            "a": A.Terms("event_type",
+                         sub={"b": A.Terms("event_type")})}))
+    with pytest.raises(ValueError, match="not supported"):
+        A.apply_agg(df, A.DateHistogram(
+            "ts", "1d", min_doc_count=0,
+            sub={"t": A.Terms("event_type")}))
+
+
 # -- 9. iceberg append-only range detection (pure, runtime-free) --------------
 
 def test_nonappend_ops_in_range():
