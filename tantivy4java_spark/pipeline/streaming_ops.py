@@ -60,3 +60,34 @@ def streaming_exact_dedup(stream_df: DataFrame, col: str,
         dedup, out_schema, _STATE_SCHEMA, "append",
         GroupStateTimeout.NoTimeout)
     return deduped.drop("_sha")
+
+
+def windowed_event_agg(stream_df: DataFrame, ts_col: str,
+                       window: str = "1 hour", slide: str = None,
+                       watermark: str = "2 hours", keys=(),
+                       value_col: str = None) -> DataFrame:
+    """Event-time windowed aggregation with a watermark for late data —
+    the canonical Structured Streaming shape (built-in `window()` +
+    `withWatermark`, whole pipeline stays in Catalyst: tumbling when
+    `slide` is None, sliding otherwise).
+
+    Returns (window_start, window_end, *keys, doc_count[, value_sum,
+    value_avg]).  In append output mode a window emits once, when the
+    watermark passes its end; events arriving later than `watermark`
+    behind the max seen event time are dropped by the engine — O(open
+    windows) state, bounded by the watermark horizon, which is what a
+    100-TB/day stream needs (state never grows with history).
+    """
+    wm = stream_df.withWatermark(ts_col, watermark)
+    wcol = F.window(F.col(ts_col), window, slide or window)
+    aggs = [F.count(F.lit(1)).alias("doc_count")]
+    if value_col is not None:
+        aggs += [F.sum(value_col).alias("value_sum"),
+                 F.avg(value_col).alias("value_avg")]
+    return (wm.groupBy(wcol.alias("win"), *[F.col(k) for k in keys])
+            .agg(*aggs)
+            .select(F.col("win.start").alias("window_start"),
+                    F.col("win.end").alias("window_end"),
+                    *keys, "doc_count",
+                    *(["value_sum", "value_avg"]
+                      if value_col is not None else [])))

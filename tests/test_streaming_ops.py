@@ -66,3 +66,60 @@ def test_streaming_dedup_state_is_per_digest(spark, tmp_path):
     # batch 1 wrote only the 5 NEW digests, not the 25-digest corpus
     assert updated and updated[-1] <= 5
     assert total_state == 25
+
+
+def test_windowed_event_agg_watermark(spark, tmp_path):
+    """Event-time tumbling windows + watermark: (1) windows emit in append
+    mode once the watermark passes them; (2) an event arriving LATER than
+    the watermark horizon is dropped, not resurrected into a closed
+    window."""
+    import datetime as dtm
+
+    from tantivy4java_spark.pipeline.streaming_ops import windowed_event_agg
+
+    src = str(tmp_path / "win_in")
+    os.makedirs(src)
+    base = dtm.datetime(2024, 1, 1, 0, 0)
+
+    def rows(*mins):
+        return [(i, base + dtm.timedelta(minutes=m), float(m))
+                for i, m in enumerate(mins)]
+
+    cols = ["id", "ts", "v"]
+    # run 1: events in hours 0 and 1, plus one far ahead (hour 6) that
+    # drives the watermark past hours 0-4
+    spark.createDataFrame(rows(5, 10, 65, 70, 75, 360), cols) \
+        .coalesce(1).write.parquet(os.path.join(src, "f0"))
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+
+    outdir = str(tmp_path / "win_out")
+
+    def run_once():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1)
+                  .parquet(os.path.join(src, "*")))
+        agg = windowed_event_agg(stream, "ts", window="1 hour",
+                                 watermark="2 hours", value_col="v")
+        q = (agg.writeStream.format("parquet").option("path", outdir)
+             .outputMode("append")
+             .option("checkpointLocation", str(tmp_path / "wck"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_once()
+    got = {(r["window_start"].hour, r["doc_count"])
+           for r in spark.read.parquet(outdir).collect()}
+    # hours 0 (2 events) and 1 (3 events) are past the watermark -> emitted
+    assert got == {(0, 2), (1, 3)}
+
+    # run 2 (same checkpoint): one event in hour 0 — now ~6h late, far
+    # beyond the 2h watermark -> DROPPED; plus on-time events in hour 7
+    # that close hour 6 (the earlier 360-min event, count 1)
+    spark.createDataFrame(rows(15) + [(90, base + dtm.timedelta(minutes=600),
+                                       1.0)], cols) \
+        .coalesce(1).write.parquet(os.path.join(src, "f1"))
+    run_once()
+    got2 = {(r["window_start"].hour, r["doc_count"])
+            for r in spark.read.parquet(outdir).collect()}
+    assert (0, 3) not in got2          # late event did NOT reopen hour 0
+    assert (6, 1) in got2              # hour-6 window closed and emitted
