@@ -288,7 +288,11 @@ def _fill_date_buckets(out: DataFrame, agg: "DateHistogram") -> DataFrame:
             F.sequence(F.from_utc_timestamp(F.lit(lo), tz),
                        F.from_utc_timestamp(F.lit(hi), tz), step),
             lambda x: F.to_utc_timestamp(x, tz))
-    keys = spark.range(1).select(F.explode(seq).alias("key"))
+    # distinct: on a spring-forward gap a NONEXISTENT local wall-clock time
+    # (e.g. 02:00 on the DST day for sub-daily strides) maps to the same
+    # UTC instant as the next bucket — without dedup the full join would
+    # fan the counted bucket out into duplicate rows
+    keys = spark.range(1).select(F.explode(seq).alias("key")).distinct()
     return keys.join(out, "key", "full").na.fill({"doc_count": 0})
 
 
@@ -394,8 +398,6 @@ def _nested_bucket_agg(df: DataFrame, outer_cols: List[Column],
     nested JSON buckets."""
     name, inner = nested
     in_cols, in_names = _inner_bucket_cols(name, inner)
-    if isinstance(inner, RangeAgg):
-        df = df.filter(in_cols[0].isNotNull())
     inner_metrics = [c for mname, m in inner.sub.items()
                      for c in m.exprs(mname)] if inner.sub else []
     for m in (inner.sub or {}).values():
@@ -405,9 +407,14 @@ def _nested_bucket_agg(df: DataFrame, outer_cols: List[Column],
                .agg(F.count(F.lit(1)).alias(f"{name}_doc_count"),
                     *inner_metrics))
     w = Window.partitionBy(*outer_names)
-    # outer doc_count BEFORE any inner cut (the cut drops rows, not docs)
+    # outer doc_count BEFORE any inner cut or null-key drop (the cut drops
+    # ROWS, not docs): docs outside every inner range / with a null inner
+    # key still belong to the outer bucket (ES semantics), so their
+    # null-key group is summed here and only its ROW is dropped after
     grouped = grouped.withColumn(
         "doc_count", F.sum(f"{name}_doc_count").over(w))
+    for n in in_names:  # multi_terms: every key component must be present
+        grouped = grouped.filter(F.col(n).isNotNull())
     if isinstance(inner, (Terms, MultiTerms)):
         rn = F.row_number().over(
             w.orderBy(F.desc(f"{name}_doc_count"),
@@ -467,7 +474,10 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
             if agg.min_doc_count > 0:
                 out = out.filter(F.col("doc_count") >= agg.min_doc_count)
             return out.orderBy("key", *in_names)
-        out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub))
+        # ES histograms ignore docs missing the field: drop the null-key
+        # group (also keeps the full-join fill from resurrecting it)
+        out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub)) \
+            .filter(F.col("key").isNotNull())
         if agg.min_doc_count > 0:
             out = out.filter(F.col("doc_count") >= agg.min_doc_count)
         elif agg.extended_bounds is not None:
@@ -493,7 +503,8 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
             if agg.min_doc_count > 1:
                 out = out.filter(F.col("doc_count") >= agg.min_doc_count)
             return out.orderBy("key", *in_names)
-        out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub))
+        out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub)) \
+            .filter(F.col("key").isNotNull())
         if agg.min_doc_count == 0:
             out = _fill_date_buckets(out, agg)
         elif agg.min_doc_count > 1:

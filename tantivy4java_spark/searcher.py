@@ -1432,8 +1432,12 @@ def _decode_positions_concat(bufs) -> "tuple[np.ndarray, np.ndarray]":
     total = int(is_term.sum())
     gaps = codec.varint_decode(concat, total).astype(np.int64)
     ends = np.cumsum(blens)
-    vals_upto = np.cumsum(is_term)
-    counts = np.diff(np.concatenate([[0], vals_upto[ends - 1]]))
+    # cum[i] = values within the first i bytes (cum[0]=0), so per-buffer
+    # counts are exact differences — robust to EMPTY buffers anywhere
+    # (indexing vals_upto[ends-1] would wrap ends[j]-1 == -1 for a leading
+    # empty buffer and mis-assign the whole split)
+    cum = np.concatenate([[0], np.cumsum(is_term)])
+    counts = cum[ends] - cum[np.concatenate([[0], ends[:-1]])]
     # per-buffer cumsum: global cumsum minus the running total before each
     # buffer's first value (same trick as codec.decode_blocks_concat)
     c = np.cumsum(gaps)

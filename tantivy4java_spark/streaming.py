@@ -165,28 +165,47 @@ def _tombstone_prior_versions(spark: SparkSession, index_dir: str,
             f"with those fields stored, or pass on_update='append'")
     prior = (docs.join(changed.select(*key_cols).distinct(),
                        list(key_cols), "left_semi")
-             .select("doc_id").distinct())
-    n_reused = 0
-    if "doc_id" in changed.columns:
-        delta_ids = (changed.select(F.col("doc_id").cast("long")
-                                    .alias("doc_id")).distinct())
-        n_reused = prior.join(delta_ids, "doc_id", "left_semi").count()
-        if n_reused and refuse_on_reuse:
-            raise ValueError(
-                f"index_changes(on_update='tombstone'): {n_reused} changed "
-                f"key(s) re-use a doc_id already in the index. Global "
-                f"tombstones would hide the NEW version too. Use "
-                f"on_update='upsert_rewrite' (tombstone + physical "
-                f"compaction, correct but rewrites the index), assign fresh "
-                f"doc_ids per version, or drop the doc_id column to let the "
-                f"index own the id space")
-    n = prior.count()
-    if n:
-        prior.write.mode("append").parquet(fsio.join(index_dir, "_deletes"))
-        manifest.append_action(spark, index_dir, {
-            "action": "delete", "num_docs": int(n),
-            "query": f"prior-versions-of-changed-keys{list(key_cols)}"})
-    return int(n), int(n_reused)
+             .select("doc_id").distinct()
+             .persist())  # reused by up to three actions below: one job each
+    try:
+        n_reused = 0
+        if "doc_id" in changed.columns:
+            delta_ids = (changed.select(F.col("doc_id").cast("long")
+                                        .alias("doc_id")).distinct())
+            n_reused = prior.join(delta_ids, "doc_id", "left_semi").count()
+            if n_reused and refuse_on_reuse:
+                raise ValueError(
+                    f"index_changes(on_update='tombstone'): {n_reused} "
+                    f"changed key(s) re-use a doc_id already in the index. "
+                    f"Global tombstones would hide the NEW version too. Use "
+                    f"on_update='upsert_rewrite' (tombstone + physical "
+                    f"compaction, correct but rewrites the index), assign "
+                    f"fresh doc_ids per version, or drop the doc_id column "
+                    f"to let the index own the id space")
+            if n_reused:
+                # upsert_rewrite will run apply_deletes next: surface its
+                # uncommitted-adds refusal NOW, before any tombstone lands —
+                # raising after the write would leave the changed keys with
+                # zero visible versions (the very state this path prevents)
+                from tantivy4java_spark import manifest as _mf
+                pending = _mf.uncommitted_adds(
+                    _mf.read_actions(spark, index_dir))
+                if pending:
+                    raise ValueError(
+                        f"upsert_rewrite needs a physical compaction, which "
+                        f"would destroy uncommitted segment adds {pending}; "
+                        f"commit them first (add_documents(commit=True)) or "
+                        f"rollback()")
+        n = prior.count()
+        if n:
+            prior.write.mode("append").parquet(
+                fsio.join(index_dir, "_deletes"))
+            manifest.append_action(spark, index_dir, {
+                "action": "delete", "num_docs": int(n),
+                "query": f"prior-versions-of-changed-keys{list(key_cols)}"})
+        return int(n), int(n_reused)
+    finally:
+        prior.unpersist()
 
 
 def index_changes(spark: SparkSession, config: IndexConfig, index_dir: str,
@@ -208,6 +227,11 @@ def index_changes(spark: SparkSession, config: IndexConfig, index_dir: str,
     detected the index is physically compacted (apply_deletes) before the
     delta lands — correct for caller-owned stable ids, at the cost of a
     rewrite pass; without reuse it degrades to plain tombstoning.
+    Preconditions (uncommitted adds) are checked BEFORE any tombstone is
+    written, so a refusal leaves the index untouched.  A hard crash between
+    the compaction and the delta append can still lose the old versions of
+    the changed keys (the delta itself is replayable from the source table:
+    the snapshot only advances after success).
     on_update='append': round-2 behavior — the delta only appends; use for
     genuinely append-only sources where the key never recurs."""
     changed, record = changes_since(spark, df, snapshot_dir, key_cols)

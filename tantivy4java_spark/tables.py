@@ -101,8 +101,13 @@ def _nonappend_ops_in_range(snapshots, from_snapshot: int) -> List[str]:
     if int(from_snapshot) not in by_id:
         return ["<from-snapshot expired>"]
     t0 = by_id[int(from_snapshot)][1]
+    # >= with self excluded: a snapshot committed in the SAME timestamp
+    # tick as from_snapshot (coarse committed_at granularity) must count as
+    # after it — missing it would silently skip its deletes/updates
     return [str(s[2]) for s in snapshots
-            if s[1] > t0 and str(s[2] or "").lower() != "append"]
+            if (s[1] > t0 or (s[1] == t0
+                              and int(s[0]) != int(from_snapshot)))
+            and str(s[2] or "").lower() != "append"]
 
 
 def changes_between(spark: SparkSession, ref: TableRef,
@@ -197,10 +202,20 @@ def index_table_changes(spark: SparkSession, config: IndexConfig,
             delta = changes_between(spark, ref, int(last))
         except NonAppendSnapshotError:
             # MERGE/rewrite in the range: the append scan can't replay it.
-            # Fall back to the content-hash diff over the current snapshot —
-            # correct for any history at the cost of one full scan (it
-            # maintains its own hash snapshot under _snapshot, so repeated
-            # fallbacks only re-index genuinely changed rows).
+            # Fall back to the content-hash diff over the current snapshot.
+            # The hash snapshot under _snapshot is only maintained by
+            # fallback passes, so rows indexed through the incremental path
+            # since the last fallback LOOK changed here — they are
+            # re-indexed with their priors tombstoned (correct, one wasted
+            # pass), which is why 'append' must refuse: it would duplicate
+            # every such row instead of superseding it.
+            if on_update == "append":
+                raise ValueError(
+                    f"non-append snapshots on {ref.location} force a "
+                    f"content-hash re-sync, which re-indexes rows the "
+                    f"incremental path already indexed; on_update='append' "
+                    f"would duplicate them. Use 'tombstone' or "
+                    f"'upsert_rewrite'") from None
             act = streaming.index_changes(
                 spark, config, index_dir, read_table(spark, ref),
                 fsio.join(index_dir, "_snapshot"), key_cols,

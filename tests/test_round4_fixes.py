@@ -223,6 +223,83 @@ def test_nested_bucket_errors(spark):
             sub={"t": A.Terms("event_type")}))
 
 
+# -- 11. self-review fixes ----------------------------------------------------
+
+def test_nested_range_outer_doc_count_counts_all_docs(spark):
+    """Docs outside every inner range still count toward the OUTER bucket's
+    doc_count (ES semantics); only their null-key inner ROW is dropped."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(8),
+                      "cat": ["a"] * 5 + ["b"] * 3,
+                      "v": [1.0, 2.0, 50.0, 60.0, 70.0, 5.0, 50.0, 55.0]}))
+    out = A.apply_agg(df, A.Terms("cat", sub={
+        "r": A.RangeAgg("v", [("low", 0.0, 10.0)])}))
+    rows = [(r["cat"], r["doc_count"], r["r_key"], r["r_doc_count"])
+            for r in out.collect()]
+    # cat a: 5 docs total, 2 in 'low'; cat b: 3 docs, 1 in 'low'
+    assert rows == [("a", 5, "low", 2), ("b", 3, "low", 1)]
+
+
+def test_hourly_fill_dst_gap_no_duplicate_buckets(spark):
+    """Sub-daily fill across spring-forward: the nonexistent local 02:00
+    maps onto the same UTC instant as 03:00 — the fill must not emit the
+    07:00Z bucket twice."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    rows = [{"doc_id": i, "ts": dtm.datetime(2024, 3, 10, 5 + i)}
+            for i in range(5)]  # 05:00Z..09:00Z spans the 07:00Z local gap
+    out = A.apply_agg(spark.createDataFrame(pd.DataFrame(rows)),
+                      A.DateHistogram("ts", "1h", min_doc_count=0,
+                                      time_zone="America/New_York"))
+    got = [(r["key"], r["doc_count"]) for r in out.collect()]
+    keys = [k for k, _ in got]
+    assert len(keys) == len(set(keys)), f"duplicate bucket keys: {got}"
+    assert sum(c for _, c in got) == 5
+
+
+def test_histogram_null_values_ignored(spark):
+    """Docs with a null field are ignored by histograms (no null-key
+    bucket), with and without the min_doc_count=0 fill."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(6),
+                      "v": [1.0, 2.0, None, 11.0, None, 12.0]}))
+    plain = A.apply_agg(df, A.Histogram("v", 10.0, min_doc_count=1))
+    assert [(r["key"], r["doc_count"]) for r in plain.collect()] == \
+        [(0.0, 2), (10.0, 2)]
+    filled = A.apply_agg(df, A.Histogram("v", 10.0, min_doc_count=0,
+                                         extended_bounds=(0.0, 30.0)))
+    got = [(r["key"], r["doc_count"]) for r in filled.collect()]
+    assert all(k is not None for k, _ in got)
+    assert got == [(0.0, 2), (10.0, 2), (20.0, 0), (30.0, 0)]
+
+
+def test_upsert_rewrite_refuses_before_tombstoning_with_uncommitted(
+        spark, tmp_path):
+    """Uncommitted segment adds: upsert_rewrite must refuse BEFORE writing
+    tombstones (old bug shape: tombstone, then apply_deletes raises ->
+    zero visible versions)."""
+    import pandas as _pd
+    from tantivy4java_spark.streaming import add_documents
+    cfg = _kv_cfg()
+    idx = str(tmp_path / "idx")
+    snap = str(tmp_path / "snap")
+    v1 = _pd.DataFrame({"doc_id": [1, 2], "key": ["a", "b"],
+                        "content": ["alpha one", "alpha two"]})
+    index_changes(spark, cfg, idx, spark.createDataFrame(v1), snap, ["key"])
+    # leave an uncommitted add dangling
+    extra = _pd.DataFrame({"doc_id": [50], "key": ["z"],
+                           "content": ["zulu text"]})
+    add_documents(spark, cfg, idx, spark.createDataFrame(extra),
+                  commit=False)
+    v2 = v1.copy()
+    v2.loc[0, "content"] = "bravo new"  # key a keeps doc_id 1 (reuse)
+    with pytest.raises(ValueError, match="uncommitted segment adds"):
+        index_changes(spark, cfg, idx, spark.createDataFrame(v2), snap,
+                      ["key"], on_update="upsert_rewrite")
+    # nothing tombstoned: both old versions still visible
+    s = IndexSearcher(spark, idx)
+    assert s.score_query(Q.Term("content", "alpha")).count() == 2
+
+
 # -- 9. iceberg append-only range detection (pure, runtime-free) --------------
 
 def test_nonappend_ops_in_range():
@@ -268,54 +345,61 @@ def test_explain_regex_wildcard_termset(spark, tmp_path):
 
 # -- 7. manifest append survives a NON-atomic create (raw-S3 shape) -----------
 
-def test_manifest_contended_append_nonatomic_create(spark, tmp_path,
-                                                    monkeypatch):
-    """Simulate raw S3: create-no-overwrite as HEAD-then-PUT with a
-    scheduling gap and last-writer-wins PUT.  With write verification on,
-    every racing writer's action must still land (the loser detects the
-    clobber via its txn token and retries the next version)."""
+def test_manifest_putput_clobber_detected(spark, tmp_path, monkeypatch):
+    """Simulate raw S3's non-atomic create (HEAD-then-PUT, last-writer-wins,
+    atomic per object) and FORCE the worst interleaving with barriers: both
+    writers HEAD-miss version 0, both PUT it, then both verify.  Exactly
+    one writer's txn occupies v0; the other must detect the clobber via
+    read-back and land its action at v1 — nothing lost, deterministically.
+    (Scheduling-free atomicity needs a conditional PUT / atomic create —
+    posix, HDFS, abfs, S3 If-None-Match — documented residual otherwise.)"""
     import os
-    import random
     import threading
-    import time as _t
 
     from tantivy4java_spark import fsio, manifest
 
     idx = str(tmp_path / "s3sim")
+    head_sync = threading.Barrier(2)
+    put_sync = threading.Barrier(2)
 
     def racy_create(sp, path, text):
         if os.path.exists(path):  # HEAD
             return False
-        _t.sleep(random.random() * 0.005)  # gap before the PUT lands
+        contended = path.endswith("00000000.json")
+        if contended:
+            head_sync.wait(timeout=10)  # both saw HEAD-miss
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        with open(path, "w") as fh:  # plain PUT: silently overwrites
+        # atomic last-writer-wins PUT (tmp + rename — object stores never
+        # interleave partial writes)
+        tmp = f"{path}.tmp-{threading.get_ident()}"
+        with open(tmp, "w") as fh:
             fh.write(text)
+        os.replace(tmp, path)
+        if contended:
+            put_sync.wait(timeout=10)  # both PUTs landed before any verify
         return True
 
     monkeypatch.setattr(fsio, "create_text_exclusive", racy_create)
     monkeypatch.setattr(manifest, "WRITE_VERIFY", True)
 
-    n_writers, per_writer = 6, 8
     errs = []
 
     def writer(wid):
         try:
-            for i in range(per_writer):
-                manifest.append_action(spark, idx,
-                                       {"action": "probe", "w": wid, "i": i})
+            manifest.append_action(spark, idx, {"action": "probe", "w": wid})
         except Exception as e:  # pragma: no cover
             errs.append(e)
 
-    threads = [threading.Thread(target=writer, args=(w,))
-               for w in range(n_writers)]
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(2)]
     for t in threads:
         t.start()
     for t in threads:
         t.join()
     assert not errs
     acts = manifest.read_actions(spark, idx)
-    got = {(a["w"], a["i"]) for a in acts if "w" in a}
-    assert got == {(w, i) for w in range(n_writers) for i in range(per_writer)}
+    assert {a["w"] for a in acts} == {0, 1}, acts
+    names = sorted(os.listdir(os.path.join(idx, "_manifest")))
+    assert names == ["00000000.json", "00000001.json"]
 
 
 # -- 6. batch-vectorized OSA edit distance ------------------------------------
