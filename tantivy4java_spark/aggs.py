@@ -524,13 +524,21 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
 
 def aggregate(searcher, query, aggs: Dict[str, Agg],
               source: Optional[DataFrame] = None) -> Dict[str, DataFrame]:
-    """SplitSearcher.aggregate analog: run the query, aggregate over matches.
+    """SplitSearcher.aggregate analog: run the query, aggregate over matches
+    (multiple aggregations per request, MultipleAggregationsPanicTest.java:123).
 
     Docs-table fast-field columns are used directly; pass ``source`` to
     aggregate over arbitrary source columns (joined on doc_id).
+
+    With several aggregations the matched-docs join is persisted so the
+    QUERY runs once, not once per returned frame (at 100-TB scale the match
+    set is the expensive part; each agg is one groupBy over it).  The
+    ContextCleaner unpersists the block when the frames are released.
     """
     matched = searcher.score_query(query).select("doc_id")
     base = searcher.docs().join(matched, "doc_id")
     if source is not None:
         base = base.join(source, "doc_id")
+    if len(aggs) > 1:
+        base = base.persist()
     return {name: apply_agg(base, agg, name) for name, agg in aggs.items()}

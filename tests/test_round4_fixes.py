@@ -223,6 +223,34 @@ def test_nested_bucket_errors(spark):
             sub={"t": A.Terms("event_type")}))
 
 
+# -- 12. multiple aggregations per request ------------------------------------
+
+def test_multiple_aggregations_one_request(spark, tmp_path):
+    """MultipleAggregationsPanicTest.java:123 shape: several aggregations
+    over one query's matches, all consistent; the matched base is persisted
+    so the query evaluates once."""
+    from tantivy4java_spark import aggs as AG
+    from tantivy4java_spark.build import build_index
+    docs = spark.createDataFrame(
+        [(i, f"common text {i}", float(i + 1)) for i in range(10)],
+        "doc_id long, text string, score double")
+    cfg = IndexConfig(fields=[FieldConfig("text", "text"),
+                              FieldConfig("score", "f64", fast=True)],
+                      id_cols=["doc_id", "score"])
+    idx = str(tmp_path / "magg")
+    build_index(spark, docs, cfg, idx, doc_id_col="doc_id")
+    s = IndexSearcher(spark, idx)
+    out = AG.aggregate(s, Q.Term("text", "common"), {
+        "doc_count": AG.Count("doc_id"),
+        "score_sum": AG.Sum("score"),
+        "score_stats": AG.Stats("score"),
+    })
+    assert out["doc_count"].collect()[0][0] == 10
+    assert abs(out["score_sum"].collect()[0][0] - 55.0) < 1e-9
+    st = out["score_stats"].collect()[0]
+    assert st["score_stats_count"] == 10 and st["score_stats_max"] == 10.0
+
+
 # -- 11. self-review fixes ----------------------------------------------------
 
 def test_nested_range_outer_doc_count_counts_all_docs(spark):
