@@ -435,6 +435,10 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
         return df.agg(*agg.exprs(name))
     if isinstance(agg, (Terms, MultiTerms)):
         keys = [agg.field] if isinstance(agg, Terms) else list(agg.fields)
+        # ES terms buckets exclude docs missing the field (no null bucket —
+        # it could otherwise displace real buckets from the size cut)
+        for k in keys:
+            df = df.filter(F.col(k).isNotNull())
         _, nested = _split_sub(agg.sub)
         if nested is not None:
             out, in_names = _nested_bucket_agg(df, agg.group_cols(), keys,
@@ -469,8 +473,9 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
                 raise ValueError("empty-bucket fill (extended_bounds with "
                                  "min_doc_count=0) is not supported with a "
                                  "nested bucket sub-aggregation")
-            out, in_names = _nested_bucket_agg(df, [kc.alias("key")],
-                                               ["key"], nested)
+            out, in_names = _nested_bucket_agg(
+                df.filter(kc.isNotNull()), [kc.alias("key")],
+                ["key"], nested)  # null-field docs ignored, as non-nested
             if agg.min_doc_count > 0:
                 out = out.filter(F.col("doc_count") >= agg.min_doc_count)
             return out.orderBy("key", *in_names)
@@ -498,8 +503,9 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
                 raise ValueError("empty-bucket fill (min_doc_count=0) is "
                                  "not supported with a nested bucket "
                                  "sub-aggregation")
-            out, in_names = _nested_bucket_agg(df, [kc.alias("key")],
-                                               ["key"], nested)
+            out, in_names = _nested_bucket_agg(
+                df.filter(kc.isNotNull()), [kc.alias("key")],
+                ["key"], nested)  # null-field docs ignored, as non-nested
             if agg.min_doc_count > 1:
                 out = out.filter(F.col("doc_count") >= agg.min_doc_count)
             return out.orderBy("key", *in_names)
@@ -530,15 +536,28 @@ def aggregate(searcher, query, aggs: Dict[str, Agg],
     Docs-table fast-field columns are used directly; pass ``source`` to
     aggregate over arbitrary source columns (joined on doc_id).
 
-    With several aggregations the matched-docs join is persisted so the
-    QUERY runs once, not once per returned frame (at 100-TB scale the match
-    set is the expensive part; each agg is one groupBy over it).  The
-    ContextCleaner unpersists the block when the frames are released.
+    With several aggregations the request is EAGER, like the reference's:
+    the matched-docs join is persisted, every aggregation runs over the
+    cached block (the query — the expensive part at 100-TB scale —
+    evaluates once), the tiny bucket/metric results are materialized, and
+    the block is unpersisted before returning.  (Returning lazy frames over
+    a persisted base would leak the cached block: Spark's CacheManager
+    holds it strongly until an explicit unpersist.)
     """
     matched = searcher.score_query(query).select("doc_id")
     base = searcher.docs().join(matched, "doc_id")
     if source is not None:
         base = base.join(source, "doc_id")
-    if len(aggs) > 1:
-        base = base.persist()
-    return {name: apply_agg(base, agg, name) for name, agg in aggs.items()}
+    if len(aggs) <= 1:
+        return {name: apply_agg(base, agg, name)
+                for name, agg in aggs.items()}
+    spark = base.sparkSession
+    base = base.persist()
+    try:
+        out = {}
+        for name, agg in aggs.items():
+            df = apply_agg(base, agg, name)
+            out[name] = spark.createDataFrame(df.collect(), df.schema)
+        return out
+    finally:
+        base.unpersist()

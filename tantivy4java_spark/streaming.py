@@ -187,9 +187,8 @@ def _tombstone_prior_versions(spark: SparkSession, index_dir: str,
                 # uncommitted-adds refusal NOW, before any tombstone lands —
                 # raising after the write would leave the changed keys with
                 # zero visible versions (the very state this path prevents)
-                from tantivy4java_spark import manifest as _mf
-                pending = _mf.uncommitted_adds(
-                    _mf.read_actions(spark, index_dir))
+                pending = manifest.uncommitted_adds(
+                    manifest.read_actions(spark, index_dir))
                 if pending:
                     raise ValueError(
                         f"upsert_rewrite needs a physical compaction, which "

@@ -92,22 +92,52 @@ class NonAppendSnapshotError(ValueError):
 
 def _nonappend_ops_in_range(snapshots, from_snapshot: int) -> List[str]:
     """Non-append operations committed AFTER `from_snapshot`, given the
-    collected (snapshot_id, committed_at, operation) rows of the
-    `.snapshots` metadata table.  An unknown `from_snapshot` (expired by
-    snapshot retention) counts as non-append: the range is not replayable.
-    Pure function so the restriction check is unit-testable without an
-    Iceberg runtime."""
+    collected (snapshot_id, committed_at, operation[, parent_id]) rows of
+    the `.snapshots` metadata table.  An unknown `from_snapshot` (expired
+    by snapshot retention) counts as non-append: the range is not
+    replayable.  Pure function so the restriction check is unit-testable
+    without an Iceberg runtime.
+
+    Same-committed_at ticks (coarse timestamp granularity on fast
+    consecutive commits) are resolved by parent LINEAGE when the rows
+    carry parent_id: an ancestor of from_snapshot is before it (already
+    replayed), a descendant is after; without lineage a tie counts as
+    after — missing an overwrite silently under-indexes, the conservative
+    error only costs a full-scan re-sync."""
     by_id = {int(s[0]): s for s in snapshots}
-    if int(from_snapshot) not in by_id:
+    fid = int(from_snapshot)
+    if fid not in by_id:
         return ["<from-snapshot expired>"]
-    t0 = by_id[int(from_snapshot)][1]
-    # >= with self excluded: a snapshot committed in the SAME timestamp
-    # tick as from_snapshot (coarse committed_at granularity) must count as
-    # after it — missing it would silently skip its deletes/updates
+    t0 = by_id[fid][1]
+
+    def _ancestor_of(maybe_anc: int, start: int) -> bool:
+        seen, cur = set(), by_id.get(start)
+        while cur is not None and len(cur) > 3 and cur[3] is not None:
+            pid = int(cur[3])
+            if pid == maybe_anc:
+                return True
+            if pid in seen:
+                break
+            seen.add(pid)
+            cur = by_id.get(pid)
+            if cur is not None and cur[1] < t0:
+                break  # walked past the tick window
+        return False
+
+    def _after(s) -> bool:
+        sid = int(s[0])
+        if s[1] > t0:
+            return True
+        if s[1] < t0 or sid == fid:
+            return False
+        if len(s) > 3:  # lineage available: resolve the tie exactly
+            if _ancestor_of(sid, fid):
+                return False  # s is behind from_snapshot: already replayed
+            return True  # descendant or unrelated branch: count as after
+        return True  # no lineage: conservative
+
     return [str(s[2]) for s in snapshots
-            if (s[1] > t0 or (s[1] == t0
-                              and int(s[0]) != int(from_snapshot)))
-            and str(s[2] or "").lower() != "append"]
+            if _after(s) and str(s[2] or "").lower() != "append"]
 
 
 def changes_between(spark: SparkSession, ref: TableRef,
@@ -126,7 +156,7 @@ def changes_between(spark: SparkSession, ref: TableRef,
     """
     if ref.fmt == "iceberg":
         snaps = spark.sql(
-            f"SELECT snapshot_id, committed_at, operation "
+            f"SELECT snapshot_id, committed_at, operation, parent_id "
             f"FROM {ref.location}.snapshots").collect()
         bad = _nonappend_ops_in_range(snaps, int(from_snapshot))
         if bad:

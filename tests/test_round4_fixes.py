@@ -284,6 +284,21 @@ def test_hourly_fill_dst_gap_no_duplicate_buckets(spark):
     assert sum(c for _, c in got) == 5
 
 
+def test_terms_null_values_excluded(spark):
+    """ES terms buckets exclude docs missing the field: a null bucket must
+    not exist, let alone displace a real bucket from the size cut."""
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(5), "cat": ["a", "a", None, None,
+                                                  None]}))
+    out = A.apply_agg(df, A.Terms("cat", size=1))
+    assert [(r["cat"], r["doc_count"]) for r in out.collect()] == [("a", 2)]
+    # nested path: null outer bucket excluded there too
+    df2 = df.withColumn("v", F.col("doc_id").cast("double"))
+    out2 = A.apply_agg(df2, A.Terms("cat", size=2, sub={
+        "h": A.Histogram("v", 10.0)}))
+    assert [(r["cat"], r["doc_count"]) for r in out2.collect()] == [("a", 2)]
+
+
 def test_histogram_null_values_ignored(spark):
     """Docs with a null field are ignored by histograms (no null-key
     bucket), with and without the min_doc_count=0 fill."""
@@ -339,6 +354,63 @@ def test_nonappend_ops_in_range():
     assert _nonappend_ops_in_range(snaps, 4) == []
     # expired/unknown from-snapshot: not replayable
     assert _nonappend_ops_in_range(snaps, 99) == ["<from-snapshot expired>"]
+
+
+def test_nonappend_same_tick_lineage():
+    """Same committed_at tick (coarse clock, fast consecutive commits):
+    parent lineage resolves order — an ANCESTOR overwrite in the same tick
+    was already replayed (no false positive); a DESCENDANT overwrite in
+    the same tick must be detected; without lineage a tie is conservative."""
+    from tantivy4java_spark.tables import _nonappend_ops_in_range
+    # rows: (snapshot_id, committed_at, operation, parent_id)
+    lin = [(100, 1000, "overwrite", 50), (101, 1000, "append", 100),
+           (102, 2000, "append", 101)]
+    # synced at 101: overwrite 100 is 101's PARENT (same tick) -> replayed
+    assert _nonappend_ops_in_range(lin, 101) == []
+    # synced at 100: append-only descendants -> fine
+    assert _nonappend_ops_in_range(lin, 100) == []
+    # descendant overwrite in the same tick IS caught
+    lin2 = [(100, 1000, "append", 50), (101, 1000, "overwrite", 100)]
+    assert _nonappend_ops_in_range(lin2, 100) == ["overwrite"]
+    # no lineage columns: tie stays conservative (counts as after)
+    nolin = [(100, 1000, "overwrite"), (101, 1000, "append")]
+    assert _nonappend_ops_in_range(nolin, 101) == ["overwrite"]
+
+
+def test_manifest_multi_retry_clobber_chain(spark, tmp_path, monkeypatch):
+    """A writer that loses SEVERAL consecutive races must keep advancing
+    versions and land its action: simulate K clobbers by making create
+    'succeed' but leave a foreign writer's payload at the claimed version."""
+    import json as _json
+    import os
+
+    from tantivy4java_spark import fsio, manifest
+
+    idx = str(tmp_path / "chain")
+    real = fsio.create_text_exclusive
+    clobbers = {"left": 3}
+
+    def clobbering_create(sp, path, text):
+        if os.path.exists(path):
+            return False
+        if clobbers["left"] > 0 and "_manifest" in path:
+            clobbers["left"] -= 1
+            foreign = _json.dumps({"action": "foreign", "txn": "other"})
+            os.makedirs(os.path.dirname(path), exist_ok=True)
+            with open(path, "w") as fh:
+                fh.write(foreign)  # another writer's PUT won this version
+            return True  # we think we created it...
+        return real(sp, path, text)
+
+    monkeypatch.setattr(fsio, "create_text_exclusive", clobbering_create)
+    monkeypatch.setattr(manifest, "WRITE_VERIFY", True)
+    manifest.append_action(spark, idx, {"action": "probe", "w": 7})
+    acts = manifest.read_actions(spark, idx)
+    # three foreign versions + ours at version 3, nothing lost or looping
+    assert [a["action"] for a in acts] == ["foreign"] * 3 + ["probe"]
+    assert acts[-1]["w"] == 7
+    names = sorted(os.listdir(os.path.join(idx, "_manifest")))
+    assert names == [f"{i:08d}.json" for i in range(4)]
 
 
 # -- 8. explain() components for regex / wildcard / termset -------------------
