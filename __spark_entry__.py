@@ -47,7 +47,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:5".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:6".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_docs_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -64,7 +64,7 @@ def _events_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:5".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:6".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_events_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -90,7 +90,7 @@ def _jdocs_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:5".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:6".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_jdocs_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
@@ -114,7 +114,7 @@ def _enriched_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
         return _SEARCHERS[key]
     import tantivy4java_spark
     tag = hashlib.md5(
-        f"{key}:{tantivy4java_spark.__version__}:5".encode()).hexdigest()[:10]
+        f"{key}:{tantivy4java_spark.__version__}:6".encode()).hexdigest()[:10]
     idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_enriched_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -240,13 +240,49 @@ ORDER BY {total} DESC, COALESCE(a.doc_id, b.doc_id) ASC LIMIT {k}"""
 # ---------------------------------------------------------------------------
 # the operator inventory
 # ---------------------------------------------------------------------------
+def _last_green_round() -> dict[str, int]:
+    """Per-query last round with a fully green driver row (rows/schema/hash),
+    from the checked-in CORRECTNESS_r*.json files.  Drives the MECHANICAL
+    window rotation (round-4 verdict item 3): the harness records only the
+    first 50 dict entries, so entries are ordered least-recently-verified
+    first — never-verified and longest-parked operators rotate back into the
+    window automatically, no hand-chosen tail."""
+    import glob
+    import json as _json
+    import re as _re
+    here = os.path.dirname(os.path.abspath(__file__))
+    out: dict[str, int] = {}
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        m = _re.search(r"_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for key, row in data.items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                out[key] = max(out.get(key, 0), rnd)
+    return out
+
+
+def _rotate(q: dict) -> dict:
+    """Stable sort by (last-green round asc, definition order): stale/never
+    verified entries first, freshest-verified parked past position 50."""
+    green = _last_green_round()
+    keys = list(q)
+    order = sorted(range(len(keys)), key=lambda i: (green.get(keys[i], 0), i))
+    return {keys[i]: q[keys[i]] for i in order}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    # ---- priority block: the correctness harness records the FIRST 50 dict
-    # entries only, so never/least-recently verified operators come first
-    # (round-3 verdict item 3) — sampling/splits, multimodal plumbing,
-    # fingerprint/lang-id, and this round's 4-term sloppy phrase.
+    # Definition order below is canonical/thematic; the returned dict is
+    # reordered by _rotate() so the 50-row harness window always covers the
+    # least-recently-verified operators first.
     from tantivy4java_spark.pipeline import sampling as SM
     q["t05_hash_split"] = lambda sp, sf: (
         SM.hash_split(_docs(sp, sf), "doc_id",
@@ -492,12 +528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["t02_quality"] = lambda sp, sf: (
         TX.quality_score(_docs(sp, sf), "text").select("doc_id", "quality"))
 
-    # ---- parked tail (positions 51+, beyond the harness's 50-row window) --
-    # Each is oracle-green in BOTH r02 and r03 and its operator family keeps
-    # an in-window probe: t02 quality (t01/t03/t04 text family in-window),
-    # q27 CIDR (ip-range path covered by q30), q21 json range
-    # (q20/q22-family), q22 json exists (q18 exists + q20 json), a04
-    # plain date_histogram (a04b calendar/tz superset).
     q["q27_ip_cidr"] = lambda sp, sf: (
         _enriched_searcher(sp, sf)
         .score_query(Q.Term("client_ip", "10.2.0.0/16")).select("doc_id"))
@@ -514,7 +544,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.date_format("key", "yyyy-MM-dd").alias("day"), "doc_count")
     q["a04_date_histogram"] = _a04
 
-    return q
+    return _rotate(q)
 
 
 def oracle_sql() -> dict[str, str]:

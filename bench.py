@@ -168,11 +168,17 @@ def main():
     try:
         t0 = time.time()
         res = run_bench(spark, sf_dir, n_docs, workdir)
-        total = time.time() - t0
+        wall = time.time() - t0
+        # headline value = SUM OF RECORDED STEPS (builds single-shot,
+        # queries best-of-N): round-comparable regardless of how many
+        # de-noising repetitions ran inside the suite (round-4 verdict
+        # "what's wrong" #3).  Raw wall incl. repeats kept as wall_sec.
+        total = sum(res["steps"].values())
         out = {
-            "metric": "index-build + query suite wall time (code corpus "
-                      f"{n_docs} docs, local[{cpus}])",
+            "metric": "index-build + query suite time, sum of best-of-rep "
+                      f"steps (code corpus {n_docs} docs, local[{cpus}])",
             "value": round(total, 3),
+            "wall_sec": round(wall, 3),
             "unit": "sec",
             "queries": res["steps"],
             "sf": float(sf),

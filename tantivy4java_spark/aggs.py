@@ -232,6 +232,29 @@ class RangeAgg(Agg):
 
 _BUCKETS = (Terms, MultiTerms, Histogram, DateHistogram, RangeAgg)
 
+# ES guards runaway bucket cardinality with search.max_buckets (default
+# 65536); mirrored here as the cap on (a) generated empty-bucket fills and
+# (b) the eager multi-aggregation driver collect.  A 1s-interval
+# date_histogram over years of data would otherwise stream millions of
+# bucket rows to the driver.
+MAX_BUCKETS = 65536
+
+
+class TooManyBucketsError(ValueError):
+    """Raised when an aggregation would produce more than MAX_BUCKETS bucket
+    rows in a driver-materialized context (empty-bucket fill, or the eager
+    multi-aggregation collect).  Use a coarser interval, or run the
+    aggregation alone — the single-aggregation path returns a LAZY DataFrame
+    the caller can aggregate/write cluster-side without a driver collect."""
+
+
+# lower bound, in seconds, of one calendar step — used only to bound the
+# fill-sequence length before generating it (an over-estimate of the bucket
+# count is fine: it can only reject slightly earlier)
+_CAL_MIN_SECONDS = {"year": 365 * 86400, "quarter": 89 * 86400,
+                    "month": 28 * 86400, "week": 7 * 86400,
+                    "day": 86400, "hour": 3600, "minute": 60, "second": 1}
+
 
 def _ts_lit(b) -> Column:
     """Timestamp literal from an ISO string / datetime bound (UTC-anchored,
@@ -277,6 +300,14 @@ def _fill_date_buckets(out: DataFrame, agg: "DateHistogram") -> DataFrame:
         hi = max([x for x in (hi, ehi) if x is not None], default=None)
     if lo is None:
         return out
+    span = (hi - lo).total_seconds()
+    unit_s = (_CAL_MIN_SECONDS[agg.trunc_unit()]
+              if agg.calendar_interval is not None else agg.seconds())
+    if span / unit_s + 1 > MAX_BUCKETS:
+        raise TooManyBucketsError(
+            f"date_histogram empty-bucket fill would generate ~"
+            f"{int(span / unit_s) + 1} buckets (> {MAX_BUCKETS}); use a "
+            f"coarser interval or min_doc_count>=1")
     step = F.expr(agg.sequence_step())
     if agg.time_zone == "UTC":
         seq = F.sequence(F.lit(lo), F.lit(hi), step)
@@ -324,6 +355,10 @@ def _fill_numeric_buckets(out: DataFrame, agg: "Histogram") -> DataFrame:
     hi = max(x for x in [row["hi"], _snap_numeric(agg, float(hi_b))]
              if x is not None)
     n = int(round((hi - lo) / agg.interval)) + 1
+    if n > MAX_BUCKETS:
+        raise TooManyBucketsError(
+            f"histogram empty-bucket fill would generate {n} buckets "
+            f"(> {MAX_BUCKETS}); use a coarser interval or min_doc_count>=1")
     bidx = F.round((F.col("key") - F.lit(lo)) / F.lit(agg.interval)) \
         .cast("long")
     counted = out.withColumn("_bidx", bidx)
@@ -381,6 +416,18 @@ def _inner_bucket_cols(name: str, agg: Agg):
         cols = [F.col(f).alias(f"{name}_{f}") for f in agg.fields]
         return cols, [f"{name}_{f}" for f in agg.fields]
     if isinstance(agg, (Histogram, DateHistogram)):
+        # only key_col() is applied to an INNER histogram — its bucket-shape
+        # options (min_doc_count filtering, hard/extended bounds) have no
+        # nested implementation; refuse loudly rather than silently ignore
+        default_mdc = 0 if isinstance(agg, Histogram) else 1
+        if agg.min_doc_count != default_mdc:
+            raise ValueError(
+                f"nested bucket sub-aggregation {name!r}: min_doc_count is "
+                f"not supported on an inner histogram")
+        if agg.hard_bounds is not None or agg.extended_bounds is not None:
+            raise ValueError(
+                f"nested bucket sub-aggregation {name!r}: hard_bounds / "
+                f"extended_bounds are not supported on an inner histogram")
         return [agg.key_col().alias(f"{name}_key")], [f"{name}_key"]
     if isinstance(agg, RangeAgg):
         return [agg.key_col().alias(f"{name}_key")], [f"{name}_key"]
@@ -557,7 +604,17 @@ def aggregate(searcher, query, aggs: Dict[str, Agg],
         out = {}
         for name, agg in aggs.items():
             df = apply_agg(base, agg, name)
-            out[name] = spark.createDataFrame(df.collect(), df.schema)
+            # bounded driver materialization: never pull more than
+            # MAX_BUCKETS bucket rows onto the driver (ES search.max_buckets
+            # analog).  limit(cap+1) keeps the probe itself cluster-bounded.
+            rows = df.limit(MAX_BUCKETS + 1).collect()
+            if len(rows) > MAX_BUCKETS:
+                raise TooManyBucketsError(
+                    f"aggregation {name!r} produced more than {MAX_BUCKETS} "
+                    f"bucket rows; use a coarser interval, or run it as a "
+                    f"single aggregation (the single-agg path returns a lazy "
+                    f"DataFrame that never collects to the driver)")
+            out[name] = spark.createDataFrame(rows, df.schema)
         return out
     finally:
         base.unpersist()

@@ -452,6 +452,10 @@ class BuildStats:
     segments: int
     wall_sec: float
     docs_per_sec: float
+    # phase accounting (scaling evidence: the segment phase is the
+    # embarrassingly-parallel part; commit/merge is the short serial tail)
+    segment_wall_sec: float = 0.0
+    merge_wall_sec: float = 0.0
 
 
 class IndexBuilder:
@@ -912,8 +916,30 @@ class IndexBuilder:
                 "compacted by apply_deletes; use streaming.add_documents "
                 "for incremental appends or build into a fresh directory")
         done = set(active_segments(acts))
+        # zipWithIndex doc_ids are file-layout positions: deterministic only
+        # while the input file listing is unchanged.  Fingerprint the sorted
+        # listing in the manifest and refuse to resume against a different
+        # one — a silently shifted listing would hand resumed segments
+        # different doc_ids than the committed ones (reference analog: the
+        # txlog pins the source snapshot a build was started from).
+        import hashlib
+        files = sorted(df.inputFiles())
+        fp = hashlib.sha256("\n".join(files).encode("utf-8")).hexdigest() \
+            if files else None
         if not acts:
             self._write_initial_manifest()
+            if fp is not None:
+                self._append_manifest({"action": "input_fingerprint",
+                                       "sha256": fp, "n_files": len(files)})
+        else:
+            rec = [a for a in acts if a.get("action") == "input_fingerprint"]
+            if rec and fp is not None and rec[-1]["sha256"] != fp:
+                raise ValueError(
+                    "refusing to resume: the input file listing changed "
+                    f"since this build started ({rec[-1]['n_files']} files "
+                    f"then, {len(files)} now / different set) — doc_id "
+                    "assignment would not match the committed segments; "
+                    "build into a fresh index directory instead")
 
         if doc_id_col is None and order_cols is None:
             # the zipWithIndex path scans the input twice; cache it first
@@ -965,14 +991,18 @@ class IndexBuilder:
                 with ThreadPoolExecutor(max_workers=workers) as ex:
                     list(ex.map(run_segment, pending))
 
+        t_merge = time.time()
         merge_action = self._merge(list(range(nseg)))
         self._append_manifest(merge_action)
         with_ids.unpersist()
         df.unpersist()
-        wall = time.time() - t0
+        now = time.time()
+        wall = now - t0
         n = merge_action["num_docs"]
         return BuildStats(num_docs=n, segments=nseg, wall_sec=wall,
-                          docs_per_sec=n / wall if wall > 0 else 0.0)
+                          docs_per_sec=n / wall if wall > 0 else 0.0,
+                          segment_wall_sec=t_merge - t0,
+                          merge_wall_sec=now - t_merge)
 
 
 def build_index(spark: SparkSession, df: DataFrame, config: IndexConfig,

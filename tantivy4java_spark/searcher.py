@@ -177,11 +177,18 @@ class IndexSearcher:
         return self._frames["_deletes"]
 
     def positions(self) -> DataFrame:
-        dirs = self._stats.get("positions_dirs")
-        if dirs:
-            return self.spark.read.parquet(
-                *[os.path.join(self.index_dir, d) for d in dirs])
-        return self.spark.read.parquet(os.path.join(self.index_dir, "positions"))
+        # memoized like postings(): repeated phrase queries reuse the same
+        # DataFrame, so a preload("positions") persist stays pinned to the
+        # frame every later query builds on
+        if "positions" not in self._frames:
+            dirs = self._stats.get("positions_dirs")
+            if dirs:
+                self._frames["positions"] = self.spark.read.parquet(
+                    *[os.path.join(self.index_dir, d) for d in dirs])
+            else:
+                self._frames["positions"] = self.spark.read.parquet(
+                    os.path.join(self.index_dir, "positions"))
+        return self._frames["positions"]
 
     def avgdl(self, field: str) -> float:
         st = self.field_stats.get(field)
@@ -504,9 +511,54 @@ class IndexSearcher:
             return self._empty_scored()
         return self._score_multi_term_union(pairs)
 
+    # above this many dictionary rows for one field the driver-side pyarrow
+    # expansion falls back to the cluster path (the dictionary no longer
+    # belongs on the driver)
+    MAX_LOCAL_DICT_ROWS = 2_000_000
+
     def _fuzzy_matched_terms(self, q: Q.Fuzzy, text: str, dist: int,
                              osa: bool) -> List[str]:
+        local = self._fuzzy_local_expansion(q, text, dist, osa)
+        if local is not None:
+            return local
+        return self._fuzzy_cluster_expansion(q, text, dist, osa)
 
+    def _fuzzy_local_expansion(self, q: Q.Fuzzy, text: str, dist: int,
+                               osa: bool) -> Optional[List[str]]:
+        """Driver-side pyarrow expansion over the (posix, row-group-pruned)
+        term dictionary — NO Spark job, so a fuzzy query costs a single
+        scoring job instead of expansion + scoring.  Valid exactly where the
+        dictionary is small enough to read driver-side (the same regime as
+        the _local_meta term-df lookups); object-store roots and oversized
+        dictionaries return None and take the cluster path.  As a side
+        effect the matched terms' dfs warm _df_cache, so the following
+        _idf_map issues no lookup at all."""
+        local = self._local_meta("terms", [("field", "==", q.field)],
+                                 ["term", "df"])
+        if local is None or len(local) > self.MAX_LOCAL_DICT_ROWS:
+            return None
+        terms = local["term"].astype(str)
+        mask = (terms.str.len() - len(text)).abs() <= dist
+        if q.prefix:
+            mask &= terms.str.startswith(text[:1])
+        cand = terms[mask].tolist()
+        if cand:
+            keep = _osa_within_batch(text, cand, dist, osa)
+            matched = [t for t, k in zip(cand, keep) if k]
+            dfs = local["df"][mask].to_numpy()[keep]
+        else:
+            matched, dfs = [], []
+        if len(matched) > self.MAX_TERM_EXPANSIONS:
+            raise ValueError(
+                f"fuzzy query expands past {self.MAX_TERM_EXPANSIONS} terms; "
+                f"lower the distance or add a prefix "
+                f"(FuzzyTermQuery expansion bound)")
+        for t, d in zip(matched, dfs):
+            self._df_cache[(q.field, t)] = int(d)
+        return matched
+
+    def _fuzzy_cluster_expansion(self, q: Q.Fuzzy, text: str, dist: int,
+                                 osa: bool) -> List[str]:
         cand = self.terms().filter(F.col("field") == q.field)
         # cheap length prefilter stays JVM-side before the distance check
         cand = cand.filter(F.abs(F.length("term") - F.lit(len(text))) <= F.lit(dist))
@@ -911,14 +963,27 @@ class IndexSearcher:
         """
         q = Q.normalize(q)
         self.last_metrics = {}
+        # Boost wrappers with a positive factor preserve ranking (score
+        # scales monotonically), so WAND pruning applies to the unwrapped
+        # child; the factor is re-applied to the pruned scores after.
+        # (ConstScore stays on the full path: its ties are broken by doc_id,
+        # so a score-pruned subset would pick the wrong k docs.)
+        scale = 1.0
+        base_q = q
+        while isinstance(base_q, Q.Boost) and float(base_q.factor) > 0:
+            scale *= float(base_q.factor)
+            base_q = base_q.child
         # field-ordered results must rank over the FULL match set, not a
         # BM25-score-pruned subset — disable WAND pruning when ordering by
         # a field value.
-        shape = self._pure_term_clauses(q) if (prune and not order_by_field) \
-            else None
+        shape = self._pure_term_clauses(base_q) \
+            if (prune and not order_by_field) else None
         if shape is not None:
             scored = self._scored_pruned(shape[0], shape[1],
                                          limit + offset)
+            if scale != 1.0:
+                scored = scored.withColumn(
+                    "score", F.col("score") * F.lit(scale))
         else:
             scored = self._score(q)
         scored = self._apply_deletes(scored)
@@ -1278,10 +1343,18 @@ class IndexSearcher:
         return self.score_query(q).count()
 
     # -- prewarm (§2.6: preloadComponents/preloadFields analog) -----------------
-    def preload(self, components: Sequence[str] = ("terms", "postings")) -> None:
+    def preload(self, components: Optional[Sequence[str]] = None) -> None:
         """Pin index tables in executor memory (Spark block-manager cache —
         replaces the reference's L1/L2 cache machinery,
-        split/SplitSearcher.java:1129-1196)."""
+        split/SplitSearcher.java:1129-1196).  Default set: terms + postings,
+        plus positions when any field is position-indexed (phrase queries
+        then always hit the pinned frame — positions() is memoized)."""
+        if components is None:
+            components = ["terms", "postings"]
+            from tantivy4java_spark.schema import INDEX_POSITION
+            if any(f.get("index_option") == INDEX_POSITION
+                   for f in self._meta.get("fields", [])):
+                components.append("positions")
         accessors = {"postings": self.postings, "positions": self.positions,
                      "docs": self.docs, "blockmeta": self.blockmeta}
         for name in components:
@@ -1373,12 +1446,14 @@ def _edit_distance(a: str, b: str, cap: int, osa: bool) -> int:
     return prev[lb]
 
 
-def _osa_within_batch(query: str, terms, cap: int) -> np.ndarray:
-    """OSA edit distance <= cap for a whole candidate batch, vectorized over
-    the batch dimension: the DP visits len(query) x max_term_len cells, each
-    cell ONE numpy op across all terms (pinned against the scalar
-    _edit_distance in tests).  The length prefilter upstream bounds
-    max_term_len to len(query)+cap, so the cell count stays tiny."""
+def _osa_within_batch(query: str, terms, cap: int,
+                      osa: bool = True) -> np.ndarray:
+    """OSA (or, with osa=False, classic Levenshtein) edit distance <= cap for
+    a whole candidate batch, vectorized over the batch dimension: the DP
+    visits len(query) x max_term_len cells, each cell ONE numpy op across
+    all terms (pinned against the scalar _edit_distance in tests).  The
+    length prefilter upstream bounds max_term_len to len(query)+cap, so the
+    cell count stays tiny."""
     n = len(terms)
     if n == 0:
         return np.zeros(0, dtype=bool)
@@ -1405,7 +1480,7 @@ def _osa_within_batch(query: str, terms, cap: int) -> np.ndarray:
             cur[:, j] = np.minimum(
                 np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
                 prev[:, j - 1] + cost)
-            if i > 1 and j > 1:
+            if osa and i > 1 and j > 1:
                 trans = (qa[i - 1] == M[:, j - 2]) & (qa[i - 2] == M[:, j - 1])
                 cur[:, j] = np.where(
                     trans, np.minimum(cur[:, j], prev2[:, j - 2] + 1),
