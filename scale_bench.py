@@ -2,17 +2,42 @@
 4N executors; sandbox stand-in = same job at local[N] and local[4N] cores).
 
 Runs the identical index build (synthetic code corpus, input_hint shape) at
-two core counts in separate SparkSessions and reports throughput at both plus
-scaling efficiency = (throughput_4N / throughput_N) / 4.
+two core counts and reports throughput at both plus scaling efficiency =
+(throughput_4N / throughput_N) / 4.
 
 INTERLEAVED PAIRED PROTOCOL (round-4 verdict item 1).  This sandbox shares
-one disk with co-tenants whose load drifts +/-16-60% over hours; rounds 3
+one box with co-tenants whose load drifts +/-16-60% over hours; rounds 3
 and 4 measured 0.961 and 0.798 on byte-identical build code because their
-legs ran hours apart.  The fix is a protocol the noise cannot flip: legs
-alternate N-core / 4N-core within one session (A1 B1 A2 B2 ... -- adjacent
-legs see the same co-tenant load), efficiency is computed per adjacent PAIR,
-and the reported figure is the MEDIAN pair.  Per-leg results stream as they
-finish, so a killed run keeps its completed evidence.
+legs ran hours apart.  Legs alternate N-core / 4N-core in adjacent pairs
+(A1 B1 A2 B2 ... -- both legs of a pair see the same co-tenant slice),
+efficiency is computed per pair, and the reported figure is the MEDIAN
+pair.  Per-leg results stream as they finish, so a killed run keeps its
+completed evidence.
+
+HONEST-N-CORE LEGS (round 5).  Two measurement artifacts surfaced when the
+in-process protocol produced 0.65-0.92 pair spread on identical code:
+
+1. pyspark's JVM gateway survives spark.stop(), so all legs of an
+   in-process run share ONE JVM: the first leg pays cold JIT while later
+   legs run warm, and per-leg driver JVM options silently do not apply
+   after leg 1.  -> each leg now runs in its OWN subprocess (fresh JVM,
+   uniform cold start -- exactly how a real cluster launches executors).
+2. a local[2] JVM still sees all 32 host cores, so GC/JIT/common-pool
+   threads free-ride on 30 idle cores -- parallelism a real 2-core
+   executor host does not have, flattering the narrow leg.  -> each leg is
+   pinned with `taskset -c 0..N-1` (children -- python workers -- inherit
+   the mask) and told `-XX:ActiveProcessorCount=N`, making it a truthful
+   N-core machine.
+
+Controls kept from the round-5 investigation (all report per-leg whole-box
+busy/iowait/steal percentages from /proc/stat):
+  SCALE_WORKDIR=/dev/shm   disk-isolation control (tmpfs shuffle+output)
+  SCALE_MODE=cluster       separate executor JVMs (local-cluster[N/2,2,m])
+  SCALE_WORKER_REUSE=0     fresh python worker per task (debug only;
+                           reuse follows Spark's production default ON --
+                           OFF charged the wide leg ~30% extra core-s of
+                           worker spawn + numpy import, a pure artifact)
+  SCALE_NO_PIN=1           disable taskset/ActiveProcessorCount (compare)
 
 Usage: python scale_bench.py [n_docs] [n_small] [n_large] [pairs]
 Prints one JSON line per leg/pair plus a final summary line; results are
@@ -24,60 +49,127 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import subprocess
 import sys
 import tempfile
 import time
 
 
+def _cpu_sample() -> list:
+    """Whole-box /proc/stat cpu counters (user nice sys idle iowait irq
+    softirq steal) — deltas over a leg attribute wall-time loss: high
+    steal% = the hypervisor gave our vCPUs to a co-tenant; high iowait% =
+    disk; high busy% with neither = we were genuinely compute-bound."""
+    with open("/proc/stat") as fh:
+        return [int(x) for x in fh.readline().split()[1:9]]
+
+
+def _cpu_delta(before: list, after: list) -> dict:
+    d = [a - b for a, b in zip(after, before)]
+    total = sum(d) or 1
+    busy = d[0] + d[1] + d[2] + d[5] + d[6]
+    return {"busy_pct": round(100.0 * busy / total, 1),
+            "iowait_pct": round(100.0 * d[4] / total, 1),
+            "steal_pct": round(100.0 * d[7] / total, 1)}
+
+
 def _build_at(cpus: int, n_docs: int) -> dict:
+    """ONE leg: build the index at `cpus` cores, return stats.  Runs inside
+    its own pinned subprocess (see _run_leg)."""
     from pyspark.sql import SparkSession
     from tantivy4java_spark.build import build_index
     from tantivy4java_spark.corpus import corpus_df
     from tantivy4java_spark.schema import code_corpus_config
 
+    workdir = tempfile.mkdtemp(prefix=f"t4s_scale_{cpus}_",
+                               dir=os.environ.get("SCALE_WORKDIR"))
+    builder = SparkSession.builder
+    if os.environ.get("SCALE_MODE") == "cluster":
+        mem_mb = os.environ.get("SCALE_EXEC_MEM_MB", "16384")
+        master = f"local-cluster[{max(1, cpus // 2)},2,{mem_mb}]"
+        # local-cluster's third arg is the Worker allocation; the executor
+        # JVM heap is spark.executor.memory and must be set too
+        builder = builder.config("spark.executor.memory", f"{mem_mb}m")
+    else:
+        master = f"local[{cpus}]"
+    jvm_opts = "-XX:+UseParallelGC"
+    if not os.environ.get("SCALE_NO_PIN"):
+        # the JVM must size GC/JIT/common pools for the leg's core count,
+        # not the host's 32 (taskset already bounds actual execution)
+        jvm_opts += f" -XX:ActiveProcessorCount={cpus}"
     spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
+        builder.master(master)
         .appName(f"t4s-scale-{cpus}")
+        .config("spark.local.dir", os.path.join(workdir, "spark-local"))
+        .config("spark.executorEnv.PYTHONPATH",
+                os.path.dirname(os.path.abspath(__file__)))
         # partitions sized to the cluster (cpus*4), as any real deployment
-        # would: with a FIXED count the merge/commit phase (terms/blockmeta
-        # writes at nparts//4 partitions) runs at the same width on both
-        # legs and shows up as Amdahl-serial — a harness artifact, not an
-        # engine property.  At 2 cores this equals the old max(cpus, 8).
+        # would: a FIXED count makes the commit phase run at the same width
+        # on both legs and read as Amdahl-serial — a harness artifact
         .config("spark.sql.shuffle.partitions", str(cpus * 4))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory",
                 os.environ.get("SCALE_DRIVER_MEM", "12g"))
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        # a 4M-doc run once deadlocked in the idle-python-worker reuse
-        # handshake (worker blocked in recv, executor blocked in epoll read,
-        # both 0% CPU for an hour); tasks here are few and large, so a fresh
-        # worker per task costs ~ms and removes that hang class entirely
-        .config("spark.python.worker.reuse", "false")
+        .config("spark.driver.extraJavaOptions", jvm_opts)
+        # python worker reuse follows Spark's production default (ON).
+        # Reuse OFF makes every task pay a fresh worker spawn + numpy
+        # import (~1-2 CPU-s) and the 4N leg runs 4x the tasks — that
+        # artifact alone depressed measured efficiency by ~0.1-0.15.
+        .config("spark.python.worker.reuse",
+                "false" if os.environ.get("SCALE_WORKER_REUSE") == "0"
+                else "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
-    workdir = tempfile.mkdtemp(prefix=f"t4s_scale_{cpus}_")
     try:
         # materialize the synthetic input BEFORE the timer: generating the
         # corpus is input production, not index-build work
         corpus = corpus_df(spark, n_docs, partitions=cpus * 2).persist()
         corpus.count()
+        cpu0 = _cpu_sample()
         t0 = time.time()
         stats = build_index(spark, corpus, code_corpus_config(),
                             os.path.join(workdir, "idx"), num_segments=2)
         wall = time.time() - t0
+        cpu = _cpu_delta(cpu0, _cpu_sample())
         corpus.unpersist()
         return {"cpus": cpus, "n_docs": stats.num_docs,
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(stats.num_docs / wall, 1),
                 "segment_phase_sec": round(stats.segment_wall_sec, 2),
-                "merge_phase_sec": round(stats.merge_wall_sec, 2)}
+                "merge_phase_sec": round(stats.merge_wall_sec, 2),
+                **cpu}
     finally:
         spark.stop()
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _run_leg(cpus: int, n_docs: int) -> dict:
+    """Launch one leg as a pinned subprocess and parse its result line."""
+    cmd = [sys.executable, os.path.abspath(__file__),
+           "--leg", str(cpus), str(n_docs)]
+    if not os.environ.get("SCALE_NO_PIN"):
+        cmd = ["taskset", "-c", f"0-{cpus - 1}"] + cmd
+    env = dict(os.environ)
+    env.setdefault("PYTHONPATH", os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env)
+    for line in reversed(proc.stdout.strip().splitlines()):
+        try:
+            out = json.loads(line)
+            if "wall_sec" in out:
+                return out
+        except ValueError:
+            continue
+    raise RuntimeError(
+        f"leg cpus={cpus} produced no result (rc={proc.returncode}):\n"
+        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--leg":
+        cpus, n_docs = int(sys.argv[2]), int(sys.argv[3])
+        print(json.dumps(_build_at(cpus, n_docs)), flush=True)
+        return
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 40000
     n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 8
@@ -88,9 +180,9 @@ def main():
         # one adjacent A/B pair: both legs bracket the same ~10-minute slice
         # of co-tenant load, so their RATIO is insensitive to the slow drift
         # that broke the hours-apart protocol
-        a = _build_at(n_small, n_docs)
+        a = _run_leg(n_small, n_docs)
         print(json.dumps({"pair": i + 1, "leg": "small", **a}), flush=True)
-        b = _build_at(n_large, n_docs)
+        b = _run_leg(n_large, n_docs)
         print(json.dumps({"pair": i + 1, "leg": "large", **b}), flush=True)
         eff = (b["docs_per_sec"] / a["docs_per_sec"]) / factor
         pair = {"pair": i + 1, "small_wall_sec": a["wall_sec"],
@@ -104,7 +196,7 @@ def main():
     median = effs[n // 2] if n % 2 else (effs[n // 2 - 1] + effs[n // 2]) / 2
     print(json.dumps({
         "metric": "index-build scaling efficiency N->4N cores "
-                  "(interleaved paired legs, median pair)",
+                  "(interleaved paired legs, pinned N-core JVMs, median pair)",
         "n_docs": n_docs,
         "n_small": n_small,
         "n_large": n_large,

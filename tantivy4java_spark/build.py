@@ -797,15 +797,28 @@ class IndexBuilder:
         # would (the searcher filters field = X AND term IN (...), which
         # prunes to the one or two range files covering those keys).
         terms_parts = max(1, nparts // 4)
-        (terms.repartitionByRange(terms_parts, "field", "term")
-         .sortWithinPartitions("field", "term")
-         .write.mode("overwrite").parquet(self._p("terms")))
 
-        # global docs + field stats
-        docs = self.spark.read.parquet(*[os.path.join(d, "docs") for d in seg_dirs])
-        docs.repartitionByRange(max(1, nparts // 4), "doc_id") \
-            .sortWithinPartitions("doc_id") \
-            .write.mode("overwrite").parquet(self._p("docs"))
+        def _write_terms():
+            (terms.repartitionByRange(terms_parts, "field", "term")
+             .sortWithinPartitions("field", "term")
+             .write.mode("overwrite").parquet(self._p("terms")))
+
+        def _write_docs():
+            d = self.spark.read.parquet(
+                *[os.path.join(sd, "docs") for sd in seg_dirs])
+            d.repartitionByRange(max(1, nparts // 4), "doc_id") \
+                .sortWithinPartitions("doc_id") \
+                .write.mode("overwrite").parquet(self._p("docs"))
+
+        # the two commit table writes are independent — run them as
+        # concurrent Spark jobs so the (short, serial-tail) merge phase
+        # doesn't sum their walls
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            f_terms = ex.submit(_write_terms)
+            f_docs = ex.submit(_write_docs)
+            f_terms.result()
+            f_docs.result()
         docs = self.spark.read.parquet(self._p("docs"))
         len_cols = [fc.name for fc in cfg.text_fields
                     if f"len_{fc.name}" in docs.columns]
