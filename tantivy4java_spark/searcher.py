@@ -976,6 +976,15 @@ class IndexSearcher:
         # field-ordered results must rank over the FULL match set, not a
         # BM25-score-pruned subset — disable WAND pruning when ordering by
         # a field value.
+        if prune and not order_by_field:
+            # driver-side fast path: evaluate the WHOLE query locally when
+            # the index root is posix and the candidate volume is small
+            # (Boost/ConstScore/DisMax/Boolean handled inside, so ranking
+            # and scale semantics are the node evaluators' own)
+            local = self._local_search_pdf(q)
+            if local is not None:
+                rows = local.iloc[offset:] if offset else local
+                return self._local_scored_df(rows.head(limit))
         shape = self._pure_term_clauses(base_q) \
             if (prune and not order_by_field) else None
         if shape is not None:
@@ -1139,6 +1148,384 @@ class IndexSearcher:
             "df", "num_docs",
             F.element_at(dist_col, F.col("term")).alias("distance"),
             "score")
+
+    # -- driver-side top-k fast path -----------------------------------------
+    # Below this many candidate postings rows (sum of the query terms' dfs)
+    # the whole match set is decoded and ranked ON THE DRIVER via pyarrow +
+    # numpy: zero Spark jobs, so selective queries run at native-library
+    # latency instead of the local-mode job-scheduling floor (~0.5 s).  The
+    # reference is itself a single-process library (core/Searcher.java), so
+    # this is its latency analog; the cluster WAND paths above the cap stay
+    # the canonical implementation and produce identical, oracle-pinned
+    # results.  Tests force the cluster paths by setting this to 0.
+    LOCAL_TOPK_MAX_ROWS = 200_000
+
+    _POSTING_BLOCK_COLS = ["field", "term", "first_doc", "count",
+                           "docs_bin", "tfs_bin", "norms_bin"]
+
+    def _local_postings_blocks(self, pairs) -> Optional[pd.DataFrame]:
+        """Posting blocks for (field, term) pairs read driver-side (pyarrow,
+        row-group pruned — the files are clustered by field, term, shard).
+        None when any postings dir is unreadable locally."""
+        dirs = self._stats.get("postings_dirs") or ["postings"]
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        filters = [("field", "in", fields), ("term", "in", terms)]
+        try:
+            import pyarrow.parquet as pq
+            parts = []
+            for d in dirs:
+                p = os.path.join(self.index_dir, d)
+                if not os.path.isdir(p):
+                    return None
+                parts.append(pq.read_table(
+                    p, filters=filters,
+                    columns=self._POSTING_BLOCK_COLS).to_pandas())
+        except Exception:
+            return None
+        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        if len(fields) > 1:
+            # isin x isin read a superset; keep the exact pairs only
+            # (tuple keys — pandas string concat drops NUL separators)
+            key = pd.Series(list(zip(pdf["field"], pdf["term"])),
+                            index=pdf.index)
+            pdf = pdf[key.isin(set(pairs))].reset_index(drop=True)
+        return pdf
+
+    def _local_deletes_ids(self) -> Optional[np.ndarray]:
+        """Tombstoned doc_ids read driver-side.  Empty array = no deletes;
+        None = a _deletes dir exists but could not be read locally (caller
+        must fall back to the cluster path — never silently skip deletes)."""
+        path = os.path.join(self.index_dir, "_deletes")
+        if not os.path.isdir(path):
+            return np.empty(0, dtype=np.int64)
+        try:
+            import pyarrow.parquet as pq
+            t = pq.read_table(path, columns=["doc_id"])
+            return t["doc_id"].to_numpy().astype(np.int64)
+        except Exception:
+            return None
+
+    def _local_scored_df(self, pdf: pd.DataFrame) -> DataFrame:
+        """(doc_id, score) pandas -> DataFrame backed by a VALUES literal
+        (Catalyst LocalRelation): collect() serves it driver-side without
+        launching a Spark job, so the fast path stays at native latency
+        end-to-end.  repr(float) round-trips IEEE-754 doubles exactly."""
+        if len(pdf) == 0:
+            return self._empty_scored()
+        vals = ", ".join(
+            f"(CAST({int(r.doc_id)} AS BIGINT), "
+            f"CAST({float(r.score)!r} AS DOUBLE))"
+            for r in pdf.itertuples())
+        return self.spark.sql(
+            f"SELECT * FROM VALUES {vals} AS t(doc_id, score)")
+
+    @staticmethod
+    def _empty_pdf() -> pd.DataFrame:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "score": pd.Series([], dtype="float64")})
+
+    def _local_search_pdf(self, q: Q.Query) -> Optional[pd.DataFrame]:
+        """Driver-side evaluation of a whole (already normalized) query:
+        pandas frame (doc_id, score), delete-filtered, sorted (score desc,
+        doc_id asc).  None = fall back to the Spark paths (non-posix root,
+        unsupported node, candidate volume past LOCAL_TOPK_MAX_ROWS, or any
+        local read failure).  Every node evaluator mirrors its _score
+        counterpart's float64 expression shape and accumulation order, so
+        the two paths agree on scores to rounding noise."""
+        if fsio.has_scheme(self.index_dir):
+            return None
+        budget = {"rows": self.LOCAL_TOPK_MAX_ROWS}
+        pdf = self._local_eval(q, budget)
+        if pdf is None:
+            return None
+        dels = self._local_deletes_ids()
+        if dels is None:
+            return None
+        if len(dels) and len(pdf):
+            pdf = pdf[~pdf["doc_id"].isin(dels)]
+        self.last_metrics["local_path"] = 1
+        return (pdf.sort_values(["score", "doc_id"],
+                                ascending=[False, True], kind="mergesort")
+                .reset_index(drop=True))
+
+    def _local_eval(self, q: Q.Query,
+                    budget: dict) -> Optional[pd.DataFrame]:
+        """Recursive local analog of _score: (doc_id, score) pandas for the
+        supported node set, None to fall back.  budget['rows'] is the
+        remaining decoded-postings allowance, decremented per leaf."""
+        if isinstance(q, Q.Term):
+            if self._json_base(q.field) is not None:
+                return None
+            fm = self._field_meta(q.field)
+            if fm.get("type") not in ("text", "string"):
+                return None
+            t = self.query_term(q.field, q.value)
+            if t is None:
+                return self._empty_pdf()
+            return self._local_union_bm25([(q.field, t)], budget)
+        if isinstance(q, Q.TermSet):
+            terms = [self.query_term(q.field, v) for v in q.values]
+            pairs = [(q.field, t) for t in terms if t is not None]
+            if not pairs:
+                return self._empty_pdf()
+            return self._local_const_union(pairs, budget)
+        if isinstance(q, (Q.Regex, Q.Wildcard)):
+            terms = self._local_regex_expansion(q)
+            if terms is None:
+                return None
+            if not terms:
+                return self._empty_pdf()
+            return self._local_const_union(
+                [(q.field, t) for t in terms], budget)
+        if isinstance(q, Q.Fuzzy):
+            text = self.query_term(q.field, q.text)
+            if text is None:
+                return self._empty_pdf()
+            terms = self._fuzzy_matched_terms(
+                q, text, int(q.distance), bool(q.transposition_cost_one))
+            if not terms:
+                return self._empty_pdf()
+            return self._local_union_bm25(
+                [(q.field, t) for t in terms], budget)
+        if isinstance(q, Q.MatchAll):
+            return self._local_all_docs(budget)
+        if isinstance(q, Q.Boost):
+            child = self._local_eval(q.child, budget)
+            if child is None:
+                return None
+            return child.assign(score=child["score"] * float(q.factor))
+        if isinstance(q, Q.ConstScore):
+            child = self._local_eval(q.child, budget)
+            if child is None:
+                return None
+            return child.assign(score=float(q.score))
+        if isinstance(q, Q.DisMax):
+            return self._local_eval_dismax(q, budget)
+        if isinstance(q, Q.Boolean):
+            return self._local_eval_bool(q, budget)
+        return None  # Phrase/Range/Exists/MLT/json: Spark paths
+
+    def _local_scored_rows(self, pairs: List[Tuple[str, str]],
+                           idf_map: Dict[Tuple[str, str], float],
+                           budget: dict) -> Optional[pd.DataFrame]:
+        """Decode + BM25-score the postings of `pairs` driver-side: one row
+        per (pair, doc) with columns (doc_id, key, score).  The arithmetic
+        mirrors _score_decoded token for token."""
+        est = sum(self._df_cache.get(p, self.num_docs + 1) for p in pairs)
+        budget["rows"] -= est
+        if budget["rows"] < 0:
+            return None
+        blocks = self._local_postings_blocks(pairs)
+        if blocks is None:
+            return None
+        if len(blocks) == 0:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "key": pd.Series([], dtype="object"),
+                                 "score": pd.Series([], dtype="float64")})
+        decoded = next(_decode_blocks(iter([blocks])))
+        # key by (field, term) TUPLES: pandas element-wise string concat
+        # silently drops NUL bytes, so the cluster path's "f\x00t" key
+        # convention is not safe to replicate here
+        key = pd.Series(list(zip(decoded["field"], decoded["term"])),
+                        index=decoded.index)
+        idf_w = key.map(idf_map).to_numpy(np.float64)
+        avgdl = decoded["field"].map(
+            {f: self.avgdl(f) for f in {p[0] for p in pairs}}
+        ).to_numpy(np.float64)
+        tf = decoded["tf"].to_numpy().astype(np.float64)
+        length = FIELDNORM_TABLE[
+            decoded["norm_id"].to_numpy().astype(np.int64)].astype(np.float64)
+        # same float64 expression shape as _score_decoded:
+        #   idf_w * tf / (tf + K1 * ((1.0 - B) + B * length / avgdl))
+        score = idf_w * tf / (tf + K1 * ((1.0 - B) + B * length / avgdl))
+        return pd.DataFrame({"doc_id": decoded["doc_id"].to_numpy(np.int64),
+                             "key": key.to_numpy(), "score": score})
+
+    def _local_union_bm25(self, pairs: List[Tuple[str, str]],
+                          budget: dict) -> Optional[pd.DataFrame]:
+        """OR-union of BM25-scored terms (the _score_term /
+        _score_multi_term_union analog): per-doc sum over matching terms in
+        canonical (doc_id, key) order."""
+        idf_map = self._idf_map(pairs)
+        if not idf_map:
+            return self._empty_pdf()
+        d = self._local_scored_rows(list(idf_map), idf_map, budget)
+        if d is None:
+            return None
+        if len(d) == 0:
+            return self._empty_pdf()
+        d = d.sort_values(["doc_id", "key"], kind="mergesort")
+        return (d.groupby("doc_id", sort=True)["score"].sum()
+                .reset_index())
+
+    def _local_const_union(self, pairs: List[Tuple[str, str]],
+                           budget: dict) -> Optional[pd.DataFrame]:
+        """Distinct matching docs at constant score 1.0 (the AutomatonQuery
+        const scorer used by termset/regex/wildcard)."""
+        dfs = self.term_dfs(pairs)
+        live = [p for p in pairs if dfs.get(p, 0) > 0]
+        if not live:
+            return self._empty_pdf()
+        budget["rows"] -= sum(dfs[p] for p in live)
+        if budget["rows"] < 0:
+            return None
+        blocks = self._local_postings_blocks(live)
+        if blocks is None:
+            return None
+        if len(blocks) == 0:
+            return self._empty_pdf()
+        decoded = next(_decode_blocks(iter([blocks])))
+        ids = np.unique(decoded["doc_id"].to_numpy(np.int64))
+        return pd.DataFrame({"doc_id": ids,
+                             "score": np.ones(len(ids), dtype=np.float64)})
+
+    def _local_all_docs(self, budget: dict) -> Optional[pd.DataFrame]:
+        """All doc_ids at constant score 1.0 (MatchAll / the implicit
+        AllQuery positive clause of a pure-negative boolean)."""
+        budget["rows"] -= self.num_docs
+        if budget["rows"] < 0:
+            return None
+        path = os.path.join(self.index_dir, "docs")
+        if not os.path.isdir(path):
+            return None
+        try:
+            import pyarrow.parquet as pq
+            ids = pq.read_table(path, columns=["doc_id"])["doc_id"] \
+                .to_numpy().astype(np.int64)
+        except Exception:
+            return None
+        return pd.DataFrame({"doc_id": ids,
+                             "score": np.ones(len(ids), dtype=np.float64)})
+
+    def _local_regex_expansion(self, q) -> Optional[List[str]]:
+        """Driver-side dictionary expansion for regex/wildcard (the
+        _regex_expansion analog, Python `re` instead of JVM rlike — the
+        engine already spans JVM/DuckDB regex dialects, and wildcard
+        patterns are generated from re.escape so they sit in the common
+        subset).  None = dictionary not local / too large / pattern does
+        not compile -> cluster path."""
+        local = self._local_meta("terms", [("field", "==", q.field)],
+                                 ["term"])
+        if local is None or len(local) > self.MAX_LOCAL_DICT_ROWS:
+            return None
+        import re
+        pattern = q.pattern if isinstance(q, Q.Regex) \
+            else Q.wildcard_to_regex(q.pattern)
+        flags = ""
+        if pattern.startswith("(?i)"):
+            flags, pattern = "(?i)", pattern[4:]
+        if isinstance(q, Q.Regex) and not pattern.startswith("^"):
+            pattern = "^(?:" + pattern + ")$"  # term-anchored (tantivy)
+        try:
+            rx = re.compile(flags + pattern)
+        except re.error:
+            return None
+        matched = [t for t in local["term"].astype(str) if rx.search(t)]
+        if len(matched) > self.MAX_TERM_EXPANSIONS:
+            raise ValueError(
+                f"pattern expands past {self.MAX_TERM_EXPANSIONS} terms; "
+                f"narrow it (wildcard cost model: leading-* patterns are "
+                f"expensive — wildcard_analysis.rs:23-96)")
+        return matched
+
+    def _local_eval_bool(self, q: Q.Boolean,
+                         budget: dict) -> Optional[pd.DataFrame]:
+        """The _score_bool analog: same join structure, same fixed-order
+        float64 sums (must clause order, should clause order), same msm and
+        pure-negative semantics."""
+        must, should = list(q.must), list(q.should)
+        must_not = list(q.must_not)
+        msm = q.minimum_should_match or 0
+
+        base_must = None
+        if must:
+            frames = []
+            for c in must:
+                f = self._local_eval(c, budget)
+                if f is None:
+                    return None
+                frames.append(f)
+            m = frames[0].rename(columns={"score": "s0"})
+            for i, f in enumerate(frames[1:], start=1):
+                m = m.merge(f.rename(columns={"score": f"s{i}"}),
+                            on="doc_id", how="inner")
+            total = m["s0"]
+            for i in range(1, len(frames)):
+                total = total + m[f"s{i}"]
+            base_must = pd.DataFrame({"doc_id": m["doc_id"],
+                                      "score": total})
+        should_scored = None
+        if should:
+            frames = []
+            for c in should:
+                f = self._local_eval(c, budget)
+                if f is None:
+                    return None
+                frames.append(f)
+            u = frames[0].rename(columns={"score": "s0"})
+            for i, f in enumerate(frames[1:], start=1):
+                u = u.merge(f.rename(columns={"score": f"s{i}"}),
+                            on="doc_id", how="outer")
+            score = u["s0"].fillna(0.0)
+            nmatch = u["s0"].notna().astype(int)
+            for i in range(1, len(frames)):
+                score = score + u[f"s{i}"].fillna(0.0)
+                nmatch = nmatch + u[f"s{i}"].notna().astype(int)
+            should_scored = pd.DataFrame(
+                {"doc_id": u["doc_id"], "score": score, "_n": nmatch})
+            if msm > 1:
+                should_scored = should_scored[should_scored["_n"] >= msm]
+
+        if base_must is not None and should_scored is not None:
+            how = "inner" if msm > 0 else "left"
+            j = base_must.rename(columns={"score": "_m"}).merge(
+                should_scored[["doc_id", "score"]]
+                .rename(columns={"score": "_s"}), on="doc_id", how=how)
+            out = pd.DataFrame({"doc_id": j["doc_id"],
+                                "score": j["_m"] + j["_s"].fillna(0.0)})
+        elif base_must is not None:
+            out = base_must
+        elif should_scored is not None:
+            out = should_scored[["doc_id", "score"]]
+        elif must_not:
+            out = self._local_all_docs(budget)
+            if out is None:
+                return None
+        else:
+            return self._empty_pdf()
+
+        for c in must_not:
+            ex = self._local_eval(c, budget)
+            if ex is None:
+                return None
+            if len(ex) and len(out):
+                out = out[~out["doc_id"].isin(ex["doc_id"])]
+        return out.reset_index(drop=True)
+
+    def _local_eval_dismax(self, q: Q.DisMax,
+                           budget: dict) -> Optional[pd.DataFrame]:
+        """The _score_dismax analog: max + tie_breaker * (sum - max) over a
+        full-outer union, coalesced in clause order."""
+        frames = []
+        for c in q.queries:
+            f = self._local_eval(c, budget)
+            if f is None:
+                return None
+            frames.append(f)
+        u = frames[0].rename(columns={"score": "s0"})
+        for i, f in enumerate(frames[1:], start=1):
+            u = u.merge(f.rename(columns={"score": f"s{i}"}),
+                        on="doc_id", how="outer")
+        cols = [u[f"s{i}"].fillna(0.0) for i in range(len(frames))]
+        mx = cols[0]
+        for c in cols[1:]:
+            mx = np.maximum(mx, c)
+        total = cols[0]
+        for c in cols[1:]:
+            total = total + c
+        score = mx + float(q.tie_breaker) * (total - mx)
+        return pd.DataFrame({"doc_id": u["doc_id"], "score": score})
 
     def _scored_pruned(self, mode: str, pairs: List[Tuple[str, str]],
                        k: int) -> DataFrame:

@@ -112,7 +112,8 @@ def test_topk_sizes_with_pruning(searcher, golden, k):
     _assert_rank_identical(rows_np, golden.topk(q, k), f"or_k{k}_noprune")
 
 
-def test_pruning_skips_shards(searcher):
+def test_pruning_skips_shards(searcher, monkeypatch):
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
     searcher.search(Q.Term("content", "import"), limit=1).collect()
     m = searcher.last_metrics
     assert m.get("shards_total", 0) >= 2

@@ -45,10 +45,17 @@ QUERIES = [
 @pytest.mark.parametrize("k", [5, 50])
 def test_cluster_path_matches_driver_path(spark, idx, qi, k, monkeypatch):
     q = QUERIES[qi]
+    s_local = IndexSearcher(spark, idx)
+    local = [(r["doc_id"], round(r["score"], 9))
+             for r in s_local.search(q, limit=k).collect()]
+    assert s_local.last_metrics.get("local_path") == 1  # driver fast path ran
+
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
     s_driver = IndexSearcher(spark, idx)
     driver = [(r["doc_id"], round(r["score"], 9))
               for r in s_driver.search(q, limit=k).collect()]
     assert s_driver.last_metrics.get("shards_total", -1) >= 0  # driver path ran
+    assert local == driver
 
     s_cluster = IndexSearcher(spark, idx)
     monkeypatch.setattr(s_cluster, "MAX_DRIVER_SHARD_ROWS", 0)
@@ -71,6 +78,7 @@ def test_cluster_path_respects_deletes(spark, idx, monkeypatch, tmp_path):
 
     s = IndexSearcher(spark, d2)
     monkeypatch.setattr(s, "MAX_DRIVER_SHARD_ROWS", 0)
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
     after = {r["doc_id"] for r in s.search(q, limit=400).collect()}
     assert victim not in after
     assert after == before - {victim}
@@ -81,6 +89,7 @@ def test_cluster_path_plan_uses_broadcast_semi_join(spark, idx, monkeypatch):
     join — never an isin literal built on the driver."""
     s = IndexSearcher(spark, idx)
     monkeypatch.setattr(s, "MAX_DRIVER_SHARD_ROWS", 0)
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
     df = s.search(Q.Term("content", "import"), limit=10)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan

@@ -1,0 +1,169 @@
+"""Driver-side top-k fast path (_local_topk).
+
+Below LOCAL_TOPK_MAX_ROWS candidate postings rows, search() decodes and
+ranks the match set on the driver (pyarrow + numpy) with ZERO Spark jobs —
+the latency analog of the reference's in-process search
+(core/Searcher.java) — while the cluster WAND paths stay canonical above
+the cap.  These tests pin exact result identity between the local path and
+the full (prune=False) Spark scoring path across query shapes, deletes,
+offsets, and boost wrappers, plus every fallback gate.
+"""
+
+import pytest
+
+from tantivy4java_spark import queries as Q
+from tantivy4java_spark.build import build_index
+from tantivy4java_spark.corpus import generate_pandas
+from tantivy4java_spark.schema import FieldConfig, IndexConfig
+from tantivy4java_spark.searcher import IndexSearcher
+
+N = 350
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_path_factory):
+    pdf = generate_pandas(0, N, seed=7, min_tokens=15, max_tokens=60)
+    pdf["doc_id"] = range(N)
+    d = str(tmp_path_factory.mktemp("lt") / "idx")
+    cfg = IndexConfig(fields=[FieldConfig("content", "text"),
+                              FieldConfig("lang", "string")],
+                      id_cols=["doc_id", "lang"], content_col="content",
+                      shard_bits=5)
+    build_index(spark, spark.createDataFrame(pdf), cfg, d,
+                doc_id_col="doc_id", num_segments=2)
+    return d
+
+
+def _rows(df):
+    return [(r["doc_id"], round(r["score"], 9)) for r in df.collect()]
+
+
+SHAPES = [
+    Q.Term("content", "import"),
+    Q.Term("content", "shuffle"),
+    Q.Boolean(must=[Q.Term("content", "import"),
+                    Q.Term("content", "return")]),
+    Q.Boolean(should=[Q.Term("content", "shuffle"),
+                      Q.Term("content", "import"),
+                      Q.Term("content", "merge")]),
+    Q.Boolean(must=[Q.Term("content", "import"),
+                    Q.Term("lang", "python")]),
+    # full node coverage of the local evaluator
+    Q.TermSet("content", ["import", "merge", "shuffle"]),
+    Q.Wildcard("content", "mer*"),
+    Q.Regex("content", "im.*rt"),
+    Q.Fuzzy("content", "merg", 1),
+    Q.DisMax([Q.Term("content", "import"), Q.Term("content", "merge")],
+             tie_breaker=0.3),
+    Q.ConstScore(Q.Term("content", "import"), 2.0),
+    Q.Boolean(must=[Q.Term("content", "import")],
+              must_not=[Q.Term("content", "merge")]),
+    Q.Boolean(should=[Q.Term("content", "import"),
+                      Q.Term("content", "merge"),
+                      Q.Term("content", "shuffle")],
+              minimum_should_match=2),
+    Q.Boolean(must_not=[Q.Term("content", "import")]),  # pure negative
+    Q.MatchAll(),
+    Q.Boolean(must=[Q.Term("content", "import")],
+              should=[Q.Term("content", "merge")]),  # optional should ctx
+]
+
+
+@pytest.mark.parametrize("qi", range(len(SHAPES)))
+@pytest.mark.parametrize("k", [3, 25])
+def test_local_matches_full_scoring(spark, idx, qi, k):
+    q = SHAPES[qi]
+    s = IndexSearcher(spark, idx)
+    local = _rows(s.search(q, limit=k))
+    assert s.last_metrics.get("local_path") == 1
+    full = _rows(s.search(q, limit=k, prune=False))
+    assert local == full
+
+
+def test_local_offset_matches_cluster(spark, idx):
+    q = Q.Term("content", "import")
+    s = IndexSearcher(spark, idx)
+    local = _rows(s.search(q, limit=5, offset=4))
+    assert s.last_metrics.get("local_path") == 1
+    base = _rows(s.search(q, limit=9, prune=False))
+    assert local == base[4:9]
+
+
+def test_local_boost_scaled(spark, idx):
+    s = IndexSearcher(spark, idx)
+    plain = [(r["doc_id"], r["score"]) for r in
+             s.search(Q.Term("content", "merge"), limit=10).collect()]
+    boosted = [(r["doc_id"], r["score"]) for r in
+               s.search(Q.Boost(Q.Term("content", "merge"), 2.5),
+                        limit=10).collect()]
+    assert s.last_metrics.get("local_path") == 1
+    assert [d for d, _ in boosted] == [d for d, _ in plain]
+    for (_, sb), (_, sp) in zip(boosted, plain):
+        assert sb == pytest.approx(2.5 * sp, rel=1e-12)
+
+
+def test_local_respects_deletes(spark, idx, tmp_path):
+    import shutil
+    from tantivy4java_spark import maintenance as M
+    d2 = str(tmp_path / "idx2")
+    shutil.copytree(idx, d2)
+    q = Q.Term("content", "import")
+    s0 = IndexSearcher(spark, d2)
+    before = [d for d, _ in _rows(s0.search(q, limit=N))]
+    victim = before[0]  # the current top hit — its removal must reshuffle
+    M.delete_by_query(spark, d2, Q.Range("doc_id", victim, victim))
+    s = IndexSearcher(spark, d2)
+    after = _rows(s.search(q, limit=N))
+    assert s.last_metrics.get("local_path") == 1
+    assert victim not in {d for d, _ in after}
+    assert {d for d, _ in after} == set(before) - {victim}
+
+
+def test_zero_df_term_shapes(spark, idx):
+    s = IndexSearcher(spark, idx)
+    # absent term alone -> empty
+    assert _rows(s.search(Q.Term("content", "zzzmissing"), limit=5)) == []
+    # MUST with an absent term empties the whole intersection
+    q = Q.Boolean(must=[Q.Term("content", "import"),
+                        Q.Term("content", "zzzmissing")])
+    assert _rows(s.search(q, limit=5)) == []
+    # SHOULD just drops the absent clause
+    q = Q.Boolean(should=[Q.Term("content", "import"),
+                          Q.Term("content", "zzzmissing")])
+    got = _rows(s.search(q, limit=5))
+    want = _rows(s.search(Q.Term("content", "import"), limit=5))
+    assert got == want
+
+
+def test_non_posix_root_falls_back(spark, idx, monkeypatch):
+    from tantivy4java_spark import searcher as S
+    monkeypatch.setattr(S.fsio, "has_scheme", lambda p: True)
+    s = IndexSearcher(spark, idx)
+    got = _rows(s.search(Q.Term("content", "import"), limit=5))
+    assert "local_path" not in s.last_metrics
+    assert len(got) == 5
+
+
+def test_cap_falls_back_to_wand(spark, idx, monkeypatch):
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
+    s = IndexSearcher(spark, idx)
+    got = _rows(s.search(Q.Term("content", "import"), limit=5))
+    assert "local_path" not in s.last_metrics
+    assert s.last_metrics.get("shards_total", -1) >= 0
+    s2 = IndexSearcher(spark, idx)
+    assert got == _rows(s2.search(Q.Term("content", "import"), limit=5))
+
+
+def test_local_runs_zero_spark_jobs(spark, idx):
+    """The point of the fast path: building the top-k plan issues NO Spark
+    job (collect of the returned local relation is the only one)."""
+    s = IndexSearcher(spark, idx)
+    sc = spark.sparkContext
+    sc.setJobGroup("local_topk_probe", "no Spark jobs expected")
+    try:
+        s.search(Q.Term("content", "shuffle"), limit=5)  # plan only
+        assert s.last_metrics.get("local_path") == 1
+        jobs = sc.statusTracker().getJobIdsForGroup("local_topk_probe")
+        assert list(jobs) == []
+    finally:
+        sc.setJobGroup("", "")

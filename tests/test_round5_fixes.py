@@ -187,6 +187,7 @@ def test_boost_term_uses_pruned_path(spark, idx, monkeypatch):
         return orig(self, mode, pairs, k)
 
     monkeypatch.setattr(IndexSearcher, "_scored_pruned", spy)
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
     boosted = s.search(Q.Boost(Q.Term("content", "merge"), 2.0),
                        limit=10).collect()
     assert calls, "Boost(Term) did not engage the WAND pruned path"
