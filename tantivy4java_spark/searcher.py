@@ -1163,14 +1163,10 @@ class IndexSearcher:
     _POSTING_BLOCK_COLS = ["field", "term", "first_doc", "count",
                            "docs_bin", "tfs_bin", "norms_bin"]
 
-    def _local_postings_blocks(self, pairs) -> Optional[pd.DataFrame]:
-        """Posting blocks for (field, term) pairs read driver-side (pyarrow,
-        row-group pruned — the files are clustered by field, term, shard).
-        None when any postings dir is unreadable locally."""
-        dirs = self._stats.get("postings_dirs") or ["postings"]
-        fields = sorted({f for f, _ in pairs})
-        terms = sorted({t for _, t in pairs})
-        filters = [("field", "in", fields), ("term", "in", terms)]
+    def _local_parquet(self, dirs: List[str], filters,
+                       columns: List[str]) -> Optional[pd.DataFrame]:
+        """Driver-side pyarrow read over index table dir(s), row-group
+        pruned.  None when any dir is unreadable locally."""
         try:
             import pyarrow.parquet as pq
             parts = []
@@ -1179,11 +1175,23 @@ class IndexSearcher:
                 if not os.path.isdir(p):
                     return None
                 parts.append(pq.read_table(
-                    p, filters=filters,
-                    columns=self._POSTING_BLOCK_COLS).to_pandas())
+                    p, filters=filters, columns=columns).to_pandas())
         except Exception:
             return None
-        pdf = pd.concat(parts, ignore_index=True) if len(parts) > 1 else parts[0]
+        return pd.concat(parts, ignore_index=True) if len(parts) > 1 \
+            else parts[0]
+
+    def _local_postings_blocks(self, pairs) -> Optional[pd.DataFrame]:
+        """Posting blocks for (field, term) pairs read driver-side (pyarrow,
+        row-group pruned — the files are clustered by field, term, shard).
+        None when any postings dir is unreadable locally."""
+        dirs = self._stats.get("postings_dirs") or ["postings"]
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        filters = [("field", "in", fields), ("term", "in", terms)]
+        pdf = self._local_parquet(dirs, filters, self._POSTING_BLOCK_COLS)
+        if pdf is None:
+            return None
         if len(fields) > 1:
             # isin x isin read a superset; keep the exact pairs only
             # (tuple keys — pandas string concat drops NUL separators)
@@ -1304,7 +1312,9 @@ class IndexSearcher:
             return self._local_eval_dismax(q, budget)
         if isinstance(q, Q.Boolean):
             return self._local_eval_bool(q, budget)
-        return None  # Phrase/Range/Exists/MLT/json: Spark paths
+        if isinstance(q, Q.Phrase):
+            return self._local_eval_phrase(q, budget)
+        return None  # Range/Exists/MLT/json-term: Spark paths
 
     def _local_scored_rows(self, pairs: List[Tuple[str, str]],
                            idf_map: Dict[Tuple[str, str], float],
@@ -1502,6 +1512,82 @@ class IndexSearcher:
             if len(ex) and len(out):
                 out = out[~out["doc_id"].isin(ex["doc_id"])]
         return out.reset_index(drop=True)
+
+    def _local_eval_phrase(self, q: Q.Phrase,
+                           budget: dict) -> Optional[pd.DataFrame]:
+        """The _score_phrase analog: positions read driver-side, the SAME
+        _phrase_freq_batch kernel computes phrase tf, the same combined-idf
+        BM25 expression scores it (json dot-path phrases included — the
+        term-key resolution is pure metadata)."""
+        jb = self._json_base(q.field)
+        if jb is not None:
+            from tantivy4java_spark.build import (JSON_PATH_SEP,
+                                                  json_query_tokens)
+            base, path = jb
+            words = []
+            for w in q.words:
+                words.extend(json_query_tokens(w))
+            if not words:
+                return self._empty_pdf()
+            field = base
+            terms = [f"{path}{JSON_PATH_SEP}{w}" for w in words]
+        else:
+            words = [self.query_term(q.field, w) for w in q.words]
+            if any(w is None for w in words) or not words:
+                return self._empty_pdf()
+            field = q.field
+            terms = list(words)
+        if len(terms) == 1:
+            return self._local_eval(Q.Term(q.field, words[0]), budget)
+        uniq = sorted(set(terms))
+        dfs = self.term_dfs([(field, t) for t in uniq])
+        if any(dfs[(field, t)] == 0 for t in uniq):
+            return self._empty_pdf()
+        budget["rows"] -= sum(dfs[(field, t)] for t in uniq)
+        if budget["rows"] < 0:
+            return None
+        dirs = self._stats.get("positions_dirs") or ["positions"]
+        rows = self._local_parquet(
+            dirs, [("field", "==", field), ("term", "in", uniq)],
+            ["term", "doc_id", "pos_bin", "norm_id"])
+        if rows is None:
+            return None
+        if len(rows) == 0:
+            return self._empty_pdf()
+        # pandas object-dtype hash kernels (groupby.nunique, duplicated)
+        # truncate strings at NUL — the json path separator — collapsing
+        # "<path>\x00a" / "<path>\x00b" into one key.  Group on integer
+        # term codes instead; elementwise == compares full strings.
+        tvals = rows["term"].to_numpy()
+        tcode = np.full(len(rows), -1, dtype=np.int64)
+        for i, t in enumerate(uniq):
+            tcode[tvals == t] = i
+        rows = rows.assign(_tc=tcode)
+        cnt = rows.groupby("doc_id")["_tc"].nunique()
+        good = cnt[cnt == len(uniq)].index
+        if len(good) == 0:
+            return self._empty_pdf()
+        sub = rows[rows["doc_id"].isin(good)]
+        docs = np.sort(good.to_numpy().astype(np.int64))
+        pm = {(d, t): b for d, t, b in
+              zip(sub["doc_id"].to_numpy(np.int64), sub["term"],
+                  sub["pos_bin"])}
+        norms = sub.groupby("doc_id")["norm_id"].first()
+        bufs_per_term = [[pm[(int(d), t)] for d in docs] for t in terms]
+        tf = _phrase_freq_batch(bufs_per_term, int(q.slop)).astype(np.float64)
+        keep = tf > 0
+        if not keep.any():
+            return self._empty_pdf()
+        docs = docs[keep]
+        tf = tf[keep]
+        length = FIELDNORM_TABLE[
+            norms.loc[docs].to_numpy().astype(np.int64)].astype(np.float64)
+        idf_w = sum(idf_weight(dfs[(field, t)], self.num_docs)
+                    for t in terms)
+        avgdl = self.avgdl(field)
+        # same float64 expression shape as _score_phrase's Column expr
+        score = idf_w * tf / (tf + K1 * ((1.0 - B) + B * length / avgdl))
+        return pd.DataFrame({"doc_id": docs, "score": score})
 
     def _local_eval_dismax(self, q: Q.DisMax,
                            budget: dict) -> Optional[pd.DataFrame]:
@@ -1726,7 +1812,13 @@ class IndexSearcher:
 
     def count(self, q: Q.Query) -> int:
         """Hit count without materializing scores order (bulk count path —
-        the reference's 45ms unscored search analog)."""
+        the reference's 45ms unscored search analog).  Takes the driver-side
+        fast path when the whole query evaluates locally (zero Spark jobs)."""
+        q = Q.normalize(q)
+        if not fsio.has_scheme(self.index_dir):
+            pdf = self._local_search_pdf(q)
+            if pdf is not None:
+                return len(pdf)
         return self.score_query(q).count()
 
     # -- prewarm (§2.6: preloadComponents/preloadFields analog) -----------------

@@ -66,6 +66,10 @@ SHAPES = [
     Q.MatchAll(),
     Q.Boolean(must=[Q.Term("content", "import")],
               should=[Q.Term("content", "merge")]),  # optional should ctx
+    Q.Phrase("content", ["public", "void"]),        # 21 matching docs
+    Q.Phrase("content", ["public", "void"], slop=2),
+    Q.Boolean(must=[Q.Phrase("content", ["public", "void"]),
+                    Q.Term("content", "import")]),  # 13 matching docs
 ]
 
 
@@ -167,3 +171,42 @@ def test_local_runs_zero_spark_jobs(spark, idx):
         assert list(jobs) == []
     finally:
         sc.setJobGroup("", "")
+
+
+def test_local_json_phrase_matches_cluster(spark, tmp_path_factory,
+                                           monkeypatch):
+    """Json dot-path phrase on the local path.  Regression: pandas
+    object-dtype hash kernels (groupby.nunique) truncate strings at NUL —
+    the json path separator — which collapsed every per-path term into one
+    group and returned 0 rows where Spark found matches."""
+    import pandas as pd
+    import json as _json
+    pdf = generate_pandas(0, 200, seed=11, min_tokens=15, max_tokens=40)
+    pdf["doc_id"] = range(200)
+    pdf["jdoc"] = [_json.dumps({"body": t}) for t in pdf["content"]]
+    d = str(tmp_path_factory.mktemp("ljp") / "idx")
+    cfg = IndexConfig(fields=[FieldConfig("jdoc", "json")],
+                      id_cols=["doc_id"])
+    build_index(spark, spark.createDataFrame(pdf[["doc_id", "jdoc"]]),
+                cfg, d, doc_id_col="doc_id")
+    s = IndexSearcher(spark, d)
+    q = Q.Phrase("jdoc.body", ["public", "void"])
+    local = _rows(s.search(q, limit=50))
+    assert s.last_metrics.get("local_path") == 1
+    assert len(local) > 0  # the truncation bug returned 0 rows
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
+    s2 = IndexSearcher(spark, d)
+    assert local == _rows(s2.search(q, limit=50))
+
+
+def test_count_local_matches_cluster(spark, idx, monkeypatch):
+    s = IndexSearcher(spark, idx)
+    queries = [Q.Term("content", "import"),
+               Q.Phrase("content", ["public", "void"]),
+               Q.Boolean(must_not=[Q.Term("content", "import")])]
+    local_counts = [s.count(q) for q in queries]
+    assert s.last_metrics.get("local_path") == 1
+    assert all(c > 0 for c in local_counts)  # non-trivial equality
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
+    s2 = IndexSearcher(spark, idx)
+    assert local_counts == [s2.count(q) for q in queries]
