@@ -73,6 +73,24 @@ def _cpu_delta(before: list, after: list) -> dict:
             "steal_pct": round(100.0 * d[7] / total, 1)}
 
 
+def _mhz_sampler(cpus: int, stop, acc: list) -> None:
+    """Sample /proc/cpuinfo MHz for the leg's pinned cores every 5 s.
+    Four interleaved runs showed monotone within-run degradation of the
+    wide leg at ~0 iowait/steal — the signature of frequency/thermal
+    throttling, which hits sustained 8-core load harder than 2-core load.
+    Reporting the leg's mean clock makes that loss attributable instead of
+    read as engine inefficiency (a real cluster spreads legs across
+    machines and never shares a thermal envelope)."""
+    while not stop.wait(5.0):
+        try:
+            with open("/proc/cpuinfo") as fh:
+                freqs = [float(line.split(":")[1])
+                         for line in fh if line.startswith("cpu MHz")]
+            acc.extend(freqs[:cpus])
+        except Exception:
+            return
+
+
 def _build_at(cpus: int, n_docs: int) -> dict:
     """ONE leg: build the index at `cpus` cores, return stats.  Runs inside
     its own pinned subprocess (see _run_leg)."""
@@ -126,18 +144,26 @@ def _build_at(cpus: int, n_docs: int) -> dict:
         # corpus is input production, not index-build work
         corpus = corpus_df(spark, n_docs, partitions=cpus * 2).persist()
         corpus.count()
+        import threading
+        stop, mhz = threading.Event(), []
+        sampler = threading.Thread(target=_mhz_sampler, args=(cpus, stop, mhz),
+                                   daemon=True)
+        sampler.start()
         cpu0 = _cpu_sample()
         t0 = time.time()
         stats = build_index(spark, corpus, code_corpus_config(),
                             os.path.join(workdir, "idx"), num_segments=2)
         wall = time.time() - t0
         cpu = _cpu_delta(cpu0, _cpu_sample())
+        stop.set()
+        sampler.join(timeout=1.0)
         corpus.unpersist()
         return {"cpus": cpus, "n_docs": stats.num_docs,
                 "wall_sec": round(wall, 2),
                 "docs_per_sec": round(stats.num_docs / wall, 1),
                 "segment_phase_sec": round(stats.segment_wall_sec, 2),
                 "merge_phase_sec": round(stats.merge_wall_sec, 2),
+                "cpu_mhz_mean": round(sum(mhz) / len(mhz), 0) if mhz else None,
                 **cpu}
     finally:
         spark.stop()
@@ -175,13 +201,24 @@ def main():
     n_large = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     n_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     factor = n_large / n_small
+    cooldown = int(os.environ.get("SCALE_COOLDOWN_SEC", "45"))
+    if os.environ.get("SCALE_WARMUP", "1") != "0":
+        # one DISCARDED wide leg before pair 1: every recorded leg then
+        # starts from the same OS/page-cache/thermal state.  Without it the
+        # very first small leg runs on a cold box and every run's pair 1
+        # reads systematically high (observed 0.83-0.92 for pair 1 vs
+        # 0.65-0.79 for later pairs across four protocol variants).
+        w = _run_leg(n_large, max(n_docs // 4, 50_000))
+        print(json.dumps({"warmup": True, **w}), flush=True)
     pairs = []
     for i in range(n_pairs):
         # one adjacent A/B pair: both legs bracket the same ~10-minute slice
         # of co-tenant load, so their RATIO is insensitive to the slow drift
         # that broke the hours-apart protocol
+        time.sleep(cooldown)  # equalize thermal/writeback state per leg
         a = _run_leg(n_small, n_docs)
         print(json.dumps({"pair": i + 1, "leg": "small", **a}), flush=True)
+        time.sleep(cooldown)
         b = _run_leg(n_large, n_docs)
         print(json.dumps({"pair": i + 1, "leg": "large", **b}), flush=True)
         eff = (b["docs_per_sec"] / a["docs_per_sec"]) / factor

@@ -803,48 +803,45 @@ class IndexBuilder:
              .sortWithinPartitions("field", "term")
              .write.mode("overwrite").parquet(self._p("terms")))
 
+        seg_docs = self.spark.read.parquet(
+            *[os.path.join(sd, "docs") for sd in seg_dirs])
+
         def _write_docs():
-            d = self.spark.read.parquet(
-                *[os.path.join(sd, "docs") for sd in seg_dirs])
-            d.repartitionByRange(max(1, nparts // 4), "doc_id") \
+            seg_docs.repartitionByRange(max(1, nparts // 4), "doc_id") \
                 .sortWithinPartitions("doc_id") \
                 .write.mode("overwrite").parquet(self._p("docs"))
 
-        # the two commit table writes are independent — run them as
-        # concurrent Spark jobs so the (short, serial-tail) merge phase
-        # doesn't sum their walls
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            f_terms = ex.submit(_write_terms)
-            f_docs = ex.submit(_write_docs)
-            f_terms.result()
-            f_docs.result()
-        docs = self.spark.read.parquet(self._p("docs"))
         len_cols = [fc.name for fc in cfg.text_fields
-                    if f"len_{fc.name}" in docs.columns]
-        srow = docs.agg(F.count(F.lit(1)).alias("_n"),
-                        *[F.sum(f"len_{n}").alias(f"_tok_{n}")
-                          for n in len_cols]).collect()[0]
-        num_docs = int(srow["_n"])
-        stats = {"num_docs": num_docs, "fields": {}}
-        for n in len_cols:
-            tot = int(srow[f"_tok_{n}"] or 0)
-            stats["fields"][n] = {
-                "num_docs": num_docs,
-                "total_tokens": tot,
-                "avgdl": (float(tot) / num_docs) if num_docs else 0.0,
-            }
-        # json fields have no docs-table length column: total tokens = sum of
-        # tf over the field's terms
-        for fc in cfg.fields:
-            if fc.type == "json":
-                row = (terms.filter(F.col("field") == fc.name)
-                       .agg(F.sum("total_tf").alias("s")).collect()[0])
-                tot = int(row["s"] or 0)
-                stats["fields"][fc.name] = {
-                    "num_docs": num_docs, "total_tokens": tot,
+                    if f"len_{fc.name}" in seg_docs.columns]
+
+        def _field_stats() -> dict:
+            # corpus stats straight off the segment docs dirs (the same
+            # rows _write_docs rewrites) so this job never waits on it
+            srow = seg_docs.agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[F.sum(f"len_{n}").alias(f"_tok_{n}")
+                  for n in len_cols]).collect()[0]
+            num_docs = int(srow["_n"])
+            stats = {"num_docs": num_docs, "fields": {}}
+            for n in len_cols:
+                tot = int(srow[f"_tok_{n}"] or 0)
+                stats["fields"][n] = {
+                    "num_docs": num_docs,
+                    "total_tokens": tot,
                     "avgdl": (float(tot) / num_docs) if num_docs else 0.0,
                 }
+            # json fields have no docs-table length column: total tokens =
+            # sum of tf over the field's terms
+            for fc in cfg.fields:
+                if fc.type == "json":
+                    row = (terms.filter(F.col("field") == fc.name)
+                           .agg(F.sum("total_tf").alias("s")).collect()[0])
+                    tot = int(row["s"] or 0)
+                    stats["fields"][fc.name] = {
+                        "num_docs": num_docs, "total_tokens": tot,
+                        "avgdl": (float(tot) / num_docs) if num_docs else 0.0,
+                    }
+            return stats
 
         # METADATA-ONLY merge of the postings (the 100TB-critical property:
         # the commit never rewrites posting payloads).  Segment postings
@@ -861,38 +858,61 @@ class IndexBuilder:
         # (parquet prunes the payload binaries), joins the broadcast idf
         # stats, and shuffles just the blockmeta rows.
         from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
-        avgdl_map = {f: s["avgdl"] for f, s in stats["fields"].items()}
-        # non-text (string/keyword) fields: avgdl 1.0 (fieldnorm-free scoring)
-        for fc in cfg.fields:
-            avgdl_map.setdefault(fc.name, 1.0)
-        idf_df = terms.withColumn(
-            "idf_w",
-            F.log(F.lit(1.0) + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
-                  / (F.col("df") + F.lit(0.5))) * F.lit(K1 + 1.0),
-        ).select("field", "term", "idf_w")
         post_dirs = [os.path.join(d, "postings") for d in seg_dirs]
-        seg_postings = self.spark.read.parquet(*post_dirs)
-        len_arr = F.array(*[F.lit(int(x)) for x in FIELDNORM_TABLE])
-        min_len = F.element_at(len_arr,
-                               (F.col("min_norm_id") + F.lit(1)).cast("int")) \
-            .cast("double")
-        avgdl_expr = F.element_at(
-            F.create_map(*[x for f, a in avgdl_map.items()
-                           for x in (F.lit(f), F.lit(float(a)))]),
-            F.col("field"))
-        mtf = F.col("max_tf").cast("double")
-        bound = (F.col("idf_w") * mtf
-                 / (mtf + F.lit(K1) * (F.lit(1.0 - B)
-                                       + F.lit(B) * min_len / avgdl_expr)))
-        (seg_postings
-         .select("field", "term", "shard", "first_doc", "count",
-                 "max_tf", "min_norm_id")
-         .join(F.broadcast(idf_df), ["field", "term"])
-         .select("field", "term", "shard", "first_doc", "count",
-                 bound.alias("block_max_score"))
-         .repartitionByRange(max(1, nparts // 4), "field", "term")
-         .sortWithinPartitions("field", "term", "shard", "first_doc")
-         .write.mode("overwrite").parquet(self._p("blockmeta")))
+
+        def _stats_and_blockmeta() -> dict:
+            stats = _field_stats()
+            num_docs = stats["num_docs"]
+            avgdl_map = {f: s["avgdl"] for f, s in stats["fields"].items()}
+            # non-text (string/keyword) fields: avgdl 1.0 (fieldnorm-free)
+            for fc in cfg.fields:
+                avgdl_map.setdefault(fc.name, 1.0)
+            idf_df = terms.withColumn(
+                "idf_w",
+                F.log(F.lit(1.0)
+                      + (F.lit(float(num_docs)) - F.col("df") + F.lit(0.5))
+                      / (F.col("df") + F.lit(0.5))) * F.lit(K1 + 1.0),
+            ).select("field", "term", "idf_w")
+            seg_postings = self.spark.read.parquet(*post_dirs)
+            len_arr = F.array(*[F.lit(int(x)) for x in FIELDNORM_TABLE])
+            min_len = F.element_at(
+                len_arr, (F.col("min_norm_id") + F.lit(1)).cast("int")) \
+                .cast("double")
+            avgdl_expr = F.element_at(
+                F.create_map(*[x for f, a in avgdl_map.items()
+                               for x in (F.lit(f), F.lit(float(a)))]),
+                F.col("field"))
+            mtf = F.col("max_tf").cast("double")
+            bound = (F.col("idf_w") * mtf
+                     / (mtf + F.lit(K1) * (F.lit(1.0 - B)
+                                           + F.lit(B) * min_len / avgdl_expr)))
+            (seg_postings
+             .select("field", "term", "shard", "first_doc", "count",
+                     "max_tf", "min_norm_id")
+             .join(F.broadcast(idf_df), ["field", "term"])
+             .select("field", "term", "shard", "first_doc", "count",
+                     bound.alias("block_max_score"))
+             .repartitionByRange(max(1, nparts // 4), "field", "term")
+             .sortWithinPartitions("field", "term", "shard", "first_doc")
+             .write.mode("overwrite").parquet(self._p("blockmeta")))
+            return stats
+
+        # ALL commit jobs are mutually independent — terms table, docs
+        # table, and stats+blockmeta (which reads segment dirs + the cached
+        # `terms`, never the rewritten outputs) — so they run as three
+        # concurrent Spark jobs and the commit tail is the SLOWEST of them,
+        # not their sum.  The shared `terms` cache is safe under concurrent
+        # first-use: Spark's block manager takes a per-partition load lock,
+        # so one job computes a partition and the others wait for the block.
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            f_terms = ex.submit(_write_terms)
+            f_docs = ex.submit(_write_docs)
+            f_stats = ex.submit(_stats_and_blockmeta)
+            f_terms.result()
+            f_docs.result()
+            stats = f_stats.result()
+        num_docs = stats["num_docs"]
         stats["postings_dirs"] = [
             fsio.relpath(d, self.index_dir) for d in post_dirs]
 
