@@ -89,6 +89,7 @@ class IndexSearcher:
         self.field_stats: Dict[str, dict] = self._stats["fields"]
         self._meta = self._load_metadata()
         self._df_cache: Dict[Tuple[str, str], int] = {}
+        self._arrow_types: Dict[Tuple[str, str], object] = {}
         self._frames: Dict[str, DataFrame] = {}
         self.last_metrics: Dict[str, float] = {}
         self._doc_source: Optional[DataFrame] = None
@@ -1264,10 +1265,18 @@ class IndexSearcher:
         remaining decoded-postings allowance, decremented per leaf."""
         if isinstance(q, Q.Term):
             if self._json_base(q.field) is not None:
-                return None
+                return self._local_eval_json_term(q, budget)
             fm = self._field_meta(q.field)
+            if fm.get("type") == "ip":
+                from tantivy4java_spark.iptypes import rewrite_ip_query
+                rewritten = rewrite_ip_query(q.field, str(q.value))
+                if rewritten is None:
+                    return self._empty_pdf()
+                return self._local_eval_range(rewritten, budget)
             if fm.get("type") not in ("text", "string"):
-                return None
+                # numeric/date/bool term: fast-field equality, const score
+                return self._local_docs_filter(q.field, budget,
+                                               eq_value=q.value)
             t = self.query_term(q.field, q.value)
             if t is None:
                 return self._empty_pdf()
@@ -1314,7 +1323,11 @@ class IndexSearcher:
             return self._local_eval_bool(q, budget)
         if isinstance(q, Q.Phrase):
             return self._local_eval_phrase(q, budget)
-        return None  # Range/Exists/MLT/json-term: Spark paths
+        if isinstance(q, Q.Range):
+            return self._local_eval_range(q, budget)
+        if isinstance(q, Q.Exists):
+            return self._local_eval_exists(q, budget)
+        return None  # MLT: Spark path
 
     def _local_scored_rows(self, pairs: List[Tuple[str, str]],
                            idf_map: Dict[Tuple[str, str], float],
@@ -1339,7 +1352,11 @@ class IndexSearcher:
         # convention is not safe to replicate here
         key = pd.Series(list(zip(decoded["field"], decoded["term"])),
                         index=decoded.index)
-        idf_w = key.map(idf_map).to_numpy(np.float64)
+        # plain-dict lookup, NOT Series.map: map(dict) builds a MultiIndex
+        # from the tuple keys whose hash engine truncates strings at NUL
+        # (json term keys), raising InvalidIndexError on distinct paths
+        idf_w = np.fromiter((idf_map[k] for k in key), dtype=np.float64,
+                            count=len(key))
         avgdl = decoded["field"].map(
             {f: self.avgdl(f) for f in {p[0] for p in pairs}}
         ).to_numpy(np.float64)
@@ -1588,6 +1605,191 @@ class IndexSearcher:
         # same float64 expression shape as _score_phrase's Column expr
         score = idf_w * tf / (tf + K1 * ((1.0 - B) + B * length / avgdl))
         return pd.DataFrame({"doc_id": docs, "score": score})
+
+    def _local_eval_json_term(self, q: Q.Term,
+                              budget: dict) -> Optional[pd.DataFrame]:
+        """The _score_term json-path analog: BM25 sum over the value's path
+        tokens, multi-token values require ALL tokens under the path (the
+        same full-text AND lowering)."""
+        from tantivy4java_spark.build import JSON_PATH_SEP, json_query_tokens
+        base, path = self._json_base(q.field)
+        toks = json_query_tokens(q.value)
+        if not toks:
+            return self._empty_pdf()
+        terms = [f"{path}{JSON_PATH_SEP}{t}" for t in dict.fromkeys(toks)]
+        idf_map = self._idf_map([(base, t) for t in terms])
+        if len(idf_map) < len(terms):
+            return self._empty_pdf()  # any missing token -> no match
+        d = self._local_scored_rows(list(idf_map), idf_map, budget)
+        if d is None:
+            return None
+        if len(d) == 0:
+            return self._empty_pdf()
+        d = d.sort_values(["doc_id", "key"], kind="mergesort")
+        g = d.groupby("doc_id", sort=True)
+        out = g["score"].sum().reset_index()
+        if len(terms) > 1:
+            # nunique over TUPLE keys (PyObject hashing) — never the raw
+            # NUL-separated term strings (see _local_eval_phrase)
+            out = out[g["key"].nunique().to_numpy() == len(terms)]
+        return out.reset_index(drop=True)
+
+    def _local_docs_filter(self, field: str, budget: dict, eq_value=None,
+                           rng: Optional[Q.Range] = None,
+                           ip_bounds: Optional[Tuple] = None,
+                           col: Optional[str] = None,
+                           ) -> Optional[pd.DataFrame]:
+        """Constant-score docs-table filter read driver-side with the range
+        predicate pushed into the pyarrow scan (row-group pruned), the
+        _score_range / typed-term analog.  Bounds are lowered with the SAME
+        _coerce_typed_bound as the cluster expression, against the Spark
+        schema dtype (metadata only — no job)."""
+        docs = self.docs()
+        cols = docs.columns
+        col = col or field
+        if col not in cols:
+            return None  # cluster path raises the canonical error
+        budget["rows"] -= self.num_docs
+        if budget["rows"] < 0:
+            return None
+
+        def _align(v):
+            # Spark writes timestamp columns as INT96 by default, which
+            # pyarrow reads as tz-NAIVE timestamp[ns] even though the stored
+            # values are UTC instants — a tz-aware bound then has no
+            # comparison kernel.  Align the bound to the arrow column's
+            # tz-ness; the instant is unchanged either way.
+            import datetime as _dtm
+            if isinstance(v, _dtm.datetime) and v.tzinfo is not None:
+                at = self._local_arrow_type("docs", col)
+                if at is not None and getattr(at, "tz", None) is None:
+                    return v.astimezone(_dtm.timezone.utc).replace(tzinfo=None)
+            return v
+
+        filters = []
+        if eq_value is not None:
+            val = _coerce_typed_bound(eq_value, dict(docs.dtypes).get(col, ""))
+            filters.append((col, "==", _align(val)))
+        elif ip_bounds is not None:
+            lo, hi, incl_lo, incl_hi = ip_bounds
+            if lo is not None:
+                filters.append((col, ">=" if incl_lo else ">", lo))
+            if hi is not None:
+                filters.append((col, "<=" if incl_hi else "<", hi))
+        elif rng is not None:
+            dtype = dict(docs.dtypes).get(col, "")
+            lo = _coerce_typed_bound(rng.lower, dtype)
+            hi = _coerce_typed_bound(rng.upper, dtype)
+            if lo is not None:
+                filters.append((col, ">=" if rng.include_lower else ">",
+                                _align(lo)))
+            if hi is not None:
+                filters.append((col, "<=" if rng.include_upper else "<",
+                                _align(hi)))
+        pdf = self._local_parquet(["docs"], filters or None, ["doc_id"])
+        if pdf is None:
+            return None
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids,
+                             "score": np.ones(len(ids), dtype=np.float64)})
+
+    def _local_arrow_type(self, table: str, col: str):
+        """Arrow type of `col` in an index table dir (memoized; None when
+        unreadable locally)."""
+        key = (table, col)
+        if key not in self._arrow_types:
+            try:
+                import pyarrow.dataset as ds
+                sch = ds.dataset(os.path.join(self.index_dir, table),
+                                 format="parquet").schema
+                self._arrow_types[key] = sch.field(col).type
+            except Exception:
+                self._arrow_types[key] = None
+        return self._arrow_types[key]
+
+    def _local_eval_range(self, q: Q.Range,
+                          budget: dict) -> Optional[pd.DataFrame]:
+        """The _score_range analog: json paths expand matching numeric terms
+        from the local dictionary (capped) into a const union; ip/typed
+        fields push the coerced bounds into a local docs-table scan."""
+        jb = self._json_base(q.field)
+        if jb is not None:
+            from tantivy4java_spark.build import JSON_PATH_SEP
+            base, path = jb
+            prefix = f"{path}{JSON_PATH_SEP}"
+            t = self._local_meta("terms", [("field", "==", base)], ["term"])
+            if t is None or len(t) > self.MAX_LOCAL_DICT_ROWS:
+                return None
+            sub = t[t["term"].str.startswith(prefix)]
+            vals = pd.to_numeric(sub["term"].str[len(prefix):],
+                                 errors="coerce")
+            m = vals.notna()
+            if q.lower is not None:
+                lv = float(q.lower)
+                m &= (vals >= lv) if q.include_lower else (vals > lv)
+            if q.upper is not None:
+                uv = float(q.upper)
+                m &= (vals <= uv) if q.include_upper else (vals < uv)
+            matched = list(sub["term"][m])
+            if not matched:
+                return self._empty_pdf()
+            return self._local_const_union([(base, t_) for t_ in matched],
+                                           budget)
+        fm = self._field_meta(q.field)
+        if fm.get("type") == "ip":
+            from tantivy4java_spark.iptypes import ip_to_hex
+            lo = ip_to_hex(str(q.lower)) if q.lower is not None else None
+            hi = ip_to_hex(str(q.upper)) if q.upper is not None else None
+            return self._local_docs_filter(
+                q.field, budget,
+                ip_bounds=(lo, hi, q.include_lower, q.include_upper),
+                col=f"_ipnum_{q.field}")
+        return self._local_docs_filter(q.field, budget, rng=q)
+
+    def _local_eval_exists(self, q: Q.Exists,
+                           budget: dict) -> Optional[pd.DataFrame]:
+        """The existsQuery analog: json paths union every term under the
+        path prefix; tokenized text fields test len_<field> > 0; typed
+        fields test column not-null."""
+        jb = self._json_base(q.field)
+        if jb is not None:
+            from tantivy4java_spark.build import JSON_PATH_SEP
+            base, path = jb
+            prefix = f"{path}{JSON_PATH_SEP}" if path else ""
+            t = self._local_meta("terms", [("field", "==", base)], ["term"])
+            if t is None or len(t) > self.MAX_LOCAL_DICT_ROWS:
+                return None
+            matched = list(t["term"][t["term"].str.startswith(prefix)]) \
+                if prefix else list(t["term"])
+            if not matched:
+                return self._empty_pdf()
+            return self._local_const_union([(base, t_) for t_ in matched],
+                                           budget)
+        docs = self.docs()
+        cols = docs.columns
+        if q.field not in cols and f"len_{q.field}" in cols:
+            budget["rows"] -= self.num_docs
+            if budget["rows"] < 0:
+                return None
+            pdf = self._local_parquet(["docs"], [(f"len_{q.field}", ">", 0)],
+                                      ["doc_id"])
+            if pdf is None:
+                return None
+            ids = pdf["doc_id"].to_numpy(np.int64)
+            return pd.DataFrame({"doc_id": ids,
+                                 "score": np.ones(len(ids),
+                                                  dtype=np.float64)})
+        if q.field not in cols:
+            return None  # cluster path raises the canonical error
+        budget["rows"] -= self.num_docs
+        if budget["rows"] < 0:
+            return None
+        pdf = self._local_parquet(["docs"], None, ["doc_id", q.field])
+        if pdf is None:
+            return None
+        ids = pdf.loc[pdf[q.field].notna(), "doc_id"].to_numpy(np.int64)
+        return pd.DataFrame({"doc_id": ids,
+                             "score": np.ones(len(ids), dtype=np.float64)})
 
     def _local_eval_dismax(self, q: Q.DisMax,
                            budget: dict) -> Optional[pd.DataFrame]:

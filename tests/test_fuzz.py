@@ -70,11 +70,11 @@ def sweep_setup(spark, tmp_path_factory):
     return IndexSearcher(spark, idx), golden, pdf
 
 
-def _random_queries(vocab, langs, repos, n=25, seed=13):
+def _random_queries(vocab, langs, repos, bigrams, n=32, seed=13):
     rng = random.Random(seed)
     out = []
     for i in range(n):
-        shape = rng.randrange(6)
+        shape = rng.randrange(9)
         t = lambda: Q.Term("content", rng.choice(vocab))
         if shape == 0:
             out.append(t())
@@ -87,17 +87,38 @@ def _random_queries(vocab, langs, repos, n=25, seed=13):
                                  must_not=[Q.Term("repo", rng.choice(repos))]))
         elif shape == 4:
             out.append(Q.DisMax([t(), t()], tie_breaker=rng.choice([0.0, 0.3, 1.0])))
-        else:
+        elif shape == 5:
             out.append(Q.Boolean(should=[Q.Boost(t(), 2.5), t()]))
+        elif shape == 6:
+            out.append(Q.Phrase("content", list(rng.choice(bigrams)),
+                                slop=rng.choice([0, 0, 1, 2])))
+        elif shape == 7:
+            out.append(Q.Boolean(should=[t(), t(), t()],
+                                 minimum_should_match=2))
+        else:
+            out.append(Q.TermSet("content",
+                                 [rng.choice(vocab) for _ in range(3)]))
     return out
 
 
-def test_golden_query_sweep(sweep_setup):
+@pytest.mark.parametrize("path", ["local", "cluster"])
+def test_golden_query_sweep(sweep_setup, monkeypatch, path):
+    """Random query trees vs the independent golden scorer, run through BOTH
+    execution paths: the driver-side fast path (default) and the cluster
+    scoring path (forced by zeroing the local budget) must each match the
+    golden ranking exactly — the three-way agreement pins local == cluster
+    == golden on every sampled shape."""
     searcher, golden, pdf = sweep_setup
+    if path == "cluster":
+        monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
+        searcher = IndexSearcher(searcher.spark, searcher.index_dir)
     vocab = sorted({w for txt in pdf["content"].head(100) for w in txt.split()})
     langs = sorted(pdf["lang"].unique())
     repos = sorted(pdf["repo"].unique())
-    for qi, q in enumerate(_random_queries(vocab, langs, repos)):
+    bigrams = sorted({(a, b) for txt in pdf["content"].head(60)
+                      for a, b in zip(txt.split(), txt.split()[1:])
+                      if a != b})
+    for qi, q in enumerate(_random_queries(vocab, langs, repos, bigrams)):
         got = [(int(r["doc_id"]), float(r["score"]))
                for r in searcher.search(q, limit=10).collect()]
         want = golden.topk(q, 10)

@@ -199,6 +199,94 @@ def test_local_json_phrase_matches_cluster(spark, tmp_path_factory,
     assert local == _rows(s2.search(q, limit=50))
 
 
+@pytest.fixture(scope="module")
+def typed_idx(spark, tmp_path_factory):
+    """Typed fields index (i64, date, ip, text) for the range/exists/
+    typed-term local evaluators."""
+    import datetime as dtm
+    import pandas as pd
+    pdf = generate_pandas(0, 250, seed=23, min_tokens=10, max_tokens=30)
+    pdf["doc_id"] = range(250)
+    pdf["n"] = [i * 7 % 400 for i in range(250)]
+    base = dtm.datetime(2024, 3, 1, tzinfo=dtm.timezone.utc)
+    pdf["ts"] = [base + dtm.timedelta(hours=3 * i) for i in range(250)]
+    pdf["ip"] = [f"10.{i % 4}.0.{i % 200}" for i in range(250)]
+    # a nullable typed column for exists
+    pdf["opt"] = [float(i) if i % 3 else None for i in range(250)]
+    d = str(tmp_path_factory.mktemp("typed") / "idx")
+    cfg = IndexConfig(fields=[FieldConfig("content", "text"),
+                              FieldConfig("n", "i64", fast=True),
+                              FieldConfig("ts", "date", fast=True),
+                              FieldConfig("ip", "ip", fast=True),
+                              FieldConfig("opt", "f64", fast=True)],
+                      id_cols=["doc_id"], content_col="content")
+    build_index(spark, spark.createDataFrame(pdf), cfg, d,
+                doc_id_col="doc_id", num_segments=2)
+    return d
+
+
+TYPED_SHAPES = [
+    Q.Range("n", lower=50, upper=200),
+    Q.Range("n", lower=50, upper=200, include_lower=False,
+            include_upper=False),
+    Q.Range("n", lower=300, upper=None),
+    Q.Range("ts", lower="2024-03-05T00:00:00Z", upper="2024-03-12T00:00:00Z"),
+    Q.Range("ip", lower="10.1.0.0", upper="10.2.255.255"),
+    Q.Term("n", 49),
+    Q.Term("ip", "10.2.0.18"),
+    Q.Exists("opt"),
+    Q.Exists("content"),
+    Q.Boolean(must=[Q.Term("content", "import"),
+                    Q.Range("n", lower=0, upper=250)]),
+]
+
+
+@pytest.mark.parametrize("qi", range(len(TYPED_SHAPES)))
+def test_local_typed_matches_cluster(spark, typed_idx, qi, monkeypatch):
+    """Range / exists / typed-term / ip local evaluators: exact identity
+    with the cluster scoring path, and the local path actually engages."""
+    q = TYPED_SHAPES[qi]
+    s = IndexSearcher(spark, typed_idx)
+    local = _rows(s.search(q, limit=300))
+    assert s.last_metrics.get("local_path") == 1
+    assert len(local) > 0
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
+    s2 = IndexSearcher(spark, typed_idx)
+    assert local == _rows(s2.search(q, limit=300))
+
+
+def test_local_json_term_range_exists_match_cluster(spark, tmp_path_factory,
+                                                    monkeypatch):
+    """Json dot-path term / numeric range / exists on the local path."""
+    import json as _json
+    pdf = generate_pandas(0, 150, seed=31, min_tokens=10, max_tokens=30)
+    pdf["doc_id"] = range(150)
+    pdf["jdoc"] = [_json.dumps({"body": t, "meta": {"n": i % 40}})
+                   if i % 5 else _json.dumps({"body": t})
+                   for i, t in enumerate(pdf["content"])]
+    d = str(tmp_path_factory.mktemp("ljt") / "idx")
+    cfg = IndexConfig(fields=[FieldConfig("jdoc", "json")],
+                      id_cols=["doc_id"])
+    build_index(spark, spark.createDataFrame(pdf[["doc_id", "jdoc"]]),
+                cfg, d, doc_id_col="doc_id")
+    shapes = [Q.Term("jdoc.body", "import"),
+              Q.Term("jdoc.body", "public void"),  # multi-token AND
+              Q.Range("jdoc.meta.n", lower=5, upper=20),
+              Q.Exists("jdoc.meta.n"),
+              Q.Exists("jdoc.body")]
+    s = IndexSearcher(spark, d)
+    got = []
+    for q in shapes:
+        rows = _rows(s.search(q, limit=200))
+        assert s.last_metrics.get("local_path") == 1, q
+        assert len(rows) > 0, q
+        got.append(rows)
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
+    s2 = IndexSearcher(spark, d)
+    for q, rows in zip(shapes, got):
+        assert rows == _rows(s2.search(q, limit=200)), q
+
+
 def test_count_local_matches_cluster(spark, idx, monkeypatch):
     s = IndexSearcher(spark, idx)
     queries = [Q.Term("content", "import"),
