@@ -986,6 +986,14 @@ class IndexSearcher:
             if local is not None:
                 rows = local.iloc[offset:] if offset else local
                 return self._local_scored_df(rows.head(limit))
+        elif prune and order_by_field:
+            # field-ordered fast path: the local evaluator holds the FULL
+            # match set (never score-pruned), so ordering by a doc value is
+            # a local column merge + stable sort
+            out = self._local_sorted_search(q, order_by_field, ascending,
+                                            offset, limit)
+            if out is not None:
+                return out
         shape = self._pure_term_clauses(base_q) \
             if (prune and not order_by_field) else None
         if shape is not None:
@@ -1214,6 +1222,43 @@ class IndexSearcher:
             return t["doc_id"].to_numpy().astype(np.int64)
         except Exception:
             return None
+
+    def _local_sorted_search(self, q: Q.Query, field: str, ascending: bool,
+                             offset: int, limit: int) -> Optional[DataFrame]:
+        """Local analog of the order_by_field join+sort: merge the matched
+        set with the doc-store column and stable-sort (field, doc_id) with
+        Spark's null placement (asc -> nulls first, desc -> nulls last).
+        Timestamp/date/binary sort columns stay on the cluster path — their
+        driver->JVM literal round-trip is timezone/encoding sensitive."""
+        docs = self.docs()
+        if field not in docs.columns:
+            return None  # cluster raises the canonical missing-column error
+        sf = docs.schema[field]
+        tn = sf.dataType.typeName()
+        if tn not in ("long", "integer", "short", "byte", "double", "float",
+                      "decimal", "string", "boolean"):
+            return None
+        local = self._local_search_pdf(q)
+        if local is None:
+            return None
+        vals = self._local_parquet(["docs"], None, ["doc_id", field])
+        if vals is None:
+            return None
+        merged = local.merge(vals, on="doc_id", how="inner")
+        if merged[field].isna().any():
+            # nullable sort values: Spark's null placement plus typed-null
+            # literal round-trips (float NaN vs integer null) — cluster path
+            return None
+        merged = merged.sort_values(
+            [field, "doc_id"], ascending=[ascending, True],
+            kind="mergesort", na_position="first" if ascending else "last")
+        rows = merged.iloc[offset:].head(limit) if offset \
+            else merged.head(limit)
+        schema = T.StructType([T.StructField("doc_id", T.LongType(), False),
+                               T.StructField("score", T.DoubleType(), False),
+                               sf])
+        return self.spark.createDataFrame(
+            rows[["doc_id", "score", field]], schema)
 
     def _local_scored_df(self, pdf: pd.DataFrame) -> DataFrame:
         """(doc_id, score) pandas -> DataFrame backed by a VALUES literal

@@ -287,6 +287,25 @@ def test_local_json_term_range_exists_match_cluster(spark, tmp_path_factory,
         assert rows == _rows(s2.search(q, limit=200)), q
 
 
+def test_local_sort_by_field_matches_cluster(spark, typed_idx, monkeypatch):
+    """order_by_field + offset on the local path: same rows, same order,
+    same columns as the cluster join+sort."""
+    def rows(s, asc, off):
+        df = s.search(Q.Term("content", "import"), limit=7,
+                      order_by_field="n", ascending=asc, offset=off)
+        return [(r["doc_id"], round(r["score"], 9), r["n"])
+                for r in df.collect()]
+
+    s = IndexSearcher(spark, typed_idx)
+    got = [rows(s, asc, off) for asc in (True, False) for off in (0, 3)]
+    assert s.last_metrics.get("local_path") == 1
+    assert all(len(g) > 0 for g in got)
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
+    s2 = IndexSearcher(spark, typed_idx)
+    want = [rows(s2, asc, off) for asc in (True, False) for off in (0, 3)]
+    assert got == want
+
+
 def test_count_local_matches_cluster(spark, idx, monkeypatch):
     s = IndexSearcher(spark, idx)
     queries = [Q.Term("content", "import"),
