@@ -575,6 +575,170 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
     raise TypeError(f"unknown aggregation {type(agg).__name__}")
 
 
+# dtypes the driver-side aggregation path handles with exact Spark parity;
+# timestamps/dates (tz literal round-trips), decimals and arrays fall back
+_LOCAL_AGG_KEY_DTYPES = {"bigint", "int", "smallint", "tinyint", "double",
+                         "float", "string", "boolean"}
+_LOCAL_AGG_NUM_DTYPES = {"bigint", "int", "smallint", "tinyint", "double",
+                         "float"}
+
+
+def _local_metric_vals(s, agg: Agg, prefix: str):
+    """One metric over a pandas column, mirroring the Spark exprs() null
+    semantics: aggregates over zero non-null values yield null (pandas'
+    sum-of-empty-is-0 does NOT match Spark)."""
+    nn = s.dropna()
+    n = len(nn)
+    if isinstance(agg, Count):
+        return [(prefix, n)]
+    if isinstance(agg, Sum):
+        return [(prefix, nn.sum() if n else None)]
+    if isinstance(agg, Avg):
+        return [(prefix, nn.mean() if n else None)]
+    if isinstance(agg, Min):
+        return [(prefix, nn.min() if n else None)]
+    if isinstance(agg, Max):
+        return [(prefix, nn.max() if n else None)]
+    if isinstance(agg, Stats):
+        return [(f"{prefix}_count", n),
+                (f"{prefix}_sum", nn.sum() if n else None),
+                (f"{prefix}_avg", nn.mean() if n else None),
+                (f"{prefix}_min", nn.min() if n else None),
+                (f"{prefix}_max", nn.max() if n else None)]
+    if isinstance(agg, Cardinality):
+        # python set — NUL-safe, unlike pandas nunique (hash truncation)
+        return [(prefix, len(set(nn.tolist())))]
+    raise TypeError(type(agg).__name__)
+
+
+def _local_agg_plan(searcher, aggs: Dict[str, Agg], source) -> Optional[dict]:
+    """Validate that every requested aggregation is locally computable with
+    exact parity; return {name: (keys, size, metrics)} or None to fall back.
+    keys == [] means a metric-only aggregation."""
+    if source is not None:
+        return None
+    dts = dict(searcher.docs().dtypes)
+
+    def _metric_ok(m: Agg) -> bool:
+        if isinstance(m, Cardinality) and not m.exact:
+            return False  # approx_count_distinct is an HLL sketch
+        if not isinstance(m, _METRICS):
+            return False
+        dt = dts.get(m.field)
+        if isinstance(m, (Sum, Avg, Stats)):
+            return dt in _LOCAL_AGG_NUM_DTYPES
+        return dt in _LOCAL_AGG_KEY_DTYPES
+
+    plan = {}
+    for name, agg in aggs.items():
+        if isinstance(agg, _METRICS):
+            if not _metric_ok(agg):
+                return None
+            plan[name] = ([], 0, {name: agg})
+        elif isinstance(agg, (Terms, MultiTerms)):
+            keys = [agg.field] if isinstance(agg, Terms) else list(agg.fields)
+            if any(dts.get(k) not in _LOCAL_AGG_KEY_DTYPES for k in keys):
+                return None
+            metrics, nested = _split_sub(agg.sub)
+            if nested is not None:
+                return None
+            if not all(_metric_ok(m) for m in metrics.values()):
+                return None
+            plan[name] = (keys, int(agg.size), metrics)
+        else:
+            return None  # histogram/date_histogram/range: cluster lowering
+    return plan
+
+
+def _local_aggregate(searcher, query, aggs: Dict[str, Agg],
+                     source) -> Optional[Dict[str, DataFrame]]:
+    """Driver-side aggregation fast path (metrics + terms/multi_terms with
+    metric sub-aggs): when the query's match set evaluates locally, the
+    matched doc rows are read via pyarrow and aggregated in pandas —
+    zero Spark jobs, same output schema BY CONSTRUCTION (taken from the
+    zero-row cluster plan), same bucket order and null semantics.  Guards
+    fall back to the cluster path on: float columns containing true NaN
+    (pandas conflates NaN with null; Spark does not), NUL bytes in string
+    keys (pandas groupby hash truncation), unsupported dtypes/aggs."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    plan = _local_agg_plan(searcher, aggs, source)
+    if plan is None:
+        return None
+    matched = searcher._local_search_pdf(query)
+    if matched is None:
+        return None
+    fields = sorted({f for keys, _, metrics in plan.values()
+                     for f in list(keys) + [m.field for m in metrics.values()]})
+    path = os.path.join(searcher.index_dir, "docs")
+    if not os.path.isdir(path):
+        return None
+    try:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+        tbl = pq.read_table(path, columns=["doc_id"] + fields)
+        for f in fields:
+            if pa.types.is_floating(tbl.schema.field(f).type):
+                col = tbl[f].drop_null()
+                if len(col) and pc.any(pc.is_nan(col)).as_py():
+                    return None  # true NaN: Spark groups/sums it, pandas skips
+        pdf = tbl.to_pandas()
+    except Exception:
+        return None
+    for f in fields:
+        if pdf[f].dtype == object and len(pdf):
+            vals = pdf[f].dropna()
+            if len(vals) and vals.map(
+                    lambda v: isinstance(v, str) and "\x00" in v).any():
+                return None  # NUL in keys: pandas hash kernels truncate
+    base = matched[["doc_id"]].merge(pdf, on="doc_id", how="inner")
+    spark = searcher.docs().sparkSession
+    probe = searcher.docs().limit(0)
+    out: Dict[str, DataFrame] = {}
+    for name, agg in aggs.items():
+        keys, size, metrics = plan[name]
+        schema = apply_agg(probe, agg, name).schema  # plan-time only, no job
+        recs: List[dict] = []
+        if not keys:
+            recs.append(dict(_local_metric_vals(base[agg.field], agg, name)))
+        else:
+            grouped = base.groupby(keys, sort=False, dropna=True)
+            for kv, g in grouped:
+                kv = kv if isinstance(kv, tuple) else (kv,)
+                rec = dict(zip(keys, kv))
+                rec["doc_count"] = len(g)
+                for mname, m in metrics.items():
+                    rec.update(_local_metric_vals(g[m.field], m, mname))
+                recs.append(rec)
+            recs.sort(key=lambda r: tuple(r[k] for k in keys))
+            recs.sort(key=lambda r: -r["doc_count"])  # stable: count desc,
+            recs = recs[:size]                        # then keys asc
+
+        def _conv(v, dt):
+            if v is None or (np.isscalar(v) and pd.isna(v)):
+                return None
+            t = dt.typeName()
+            if t in ("long", "integer", "short", "byte"):
+                return int(v)
+            if t in ("double", "float"):
+                return float(v)
+            if t == "string":
+                return str(v)
+            if t == "boolean":
+                return bool(v)
+            return v
+
+        rows = [tuple(_conv(r.get(f.name), f.dataType) for f in schema.fields)
+                for r in recs]
+        out[name] = spark.createDataFrame(rows, schema)
+    searcher.last_metrics["local_agg"] = 1
+    return out
+
+
 def aggregate(searcher, query, aggs: Dict[str, Agg],
               source: Optional[DataFrame] = None) -> Dict[str, DataFrame]:
     """SplitSearcher.aggregate analog: run the query, aggregate over matches
@@ -591,6 +755,9 @@ def aggregate(searcher, query, aggs: Dict[str, Agg],
     a persisted base would leak the cached block: Spark's CacheManager
     holds it strongly until an explicit unpersist.)
     """
+    local = _local_aggregate(searcher, query, aggs, source)
+    if local is not None:
+        return local
     matched = searcher.score_query(query).select("doc_id")
     base = searcher.docs().join(matched, "doc_id")
     if source is not None:

@@ -1241,24 +1241,31 @@ class IndexSearcher:
         local = self._local_search_pdf(q)
         if local is None:
             return None
-        vals = self._local_parquet(["docs"], None, ["doc_id", field])
-        if vals is None:
-            return None
-        merged = local.merge(vals, on="doc_id", how="inner")
-        if merged[field].isna().any():
-            # nullable sort values: Spark's null placement plus typed-null
-            # literal round-trips (float NaN vs integer null) — cluster path
-            return None
-        merged = merged.sort_values(
-            [field, "doc_id"], ascending=[ascending, True],
-            kind="mergesort", na_position="first" if ascending else "last")
+        if field == "doc_id":  # ordering by the id itself: no merge needed
+            merged = local.sort_values("doc_id", ascending=ascending,
+                                       kind="mergesort")
+        else:
+            vals = self._local_parquet(["docs"], None, ["doc_id", field])
+            if vals is None:
+                return None
+            merged = local.merge(vals, on="doc_id", how="inner")
+            if merged[field].isna().any():
+                # nullable sort values: Spark's null placement plus
+                # typed-null literals (float NaN vs integer null) — cluster
+                return None
+            merged = merged.sort_values(
+                [field, "doc_id"], ascending=[ascending, True],
+                kind="mergesort")
         rows = merged.iloc[offset:].head(limit) if offset \
             else merged.head(limit)
+        tn_conv = {"string": str, "boolean": bool,
+                   "double": float, "float": float}.get(tn, int)
+        data = [(int(d), float(s), tn_conv(v)) for d, s, v in
+                zip(rows["doc_id"], rows["score"], rows[field])]
         schema = T.StructType([T.StructField("doc_id", T.LongType(), False),
                                T.StructField("score", T.DoubleType(), False),
                                sf])
-        return self.spark.createDataFrame(
-            rows[["doc_id", "score", field]], schema)
+        return self.spark.createDataFrame(data, schema)
 
     def _local_scored_df(self, pdf: pd.DataFrame) -> DataFrame:
         """(doc_id, score) pandas -> DataFrame backed by a VALUES literal
