@@ -650,6 +650,45 @@ def _local_agg_plan(searcher, aggs: Dict[str, Agg], source) -> Optional[dict]:
     return plan
 
 
+_SQL_TYPES = {"long": "BIGINT", "integer": "INT", "short": "SMALLINT",
+              "byte": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
+              "string": "STRING", "boolean": "BOOLEAN"}
+
+
+def _values_df(spark, rows: List[tuple], schema) -> DataFrame:
+    """Typed-VALUES LocalRelation for small result tables: collect() serves
+    it driver-side with zero Spark jobs (createDataFrame(list|pandas) lowers
+    to a LogicalRDD whose collect launches a job).  Falls back to
+    createDataFrame for types VALUES can't express."""
+    try:
+        types = [_SQL_TYPES[f.dataType.typeName()] for f in schema.fields]
+    except KeyError:
+        return spark.createDataFrame(rows, schema)
+    names = ", ".join("`" + f.name.replace("`", "``") + "`"
+                      for f in schema.fields)
+
+    def lit(v, t: str) -> str:
+        if v is None:
+            return f"CAST(NULL AS {t})"
+        if t == "STRING":
+            e = str(v).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{e}'"
+        if t == "BOOLEAN":
+            return "true" if v else "false"
+        if t in ("DOUBLE", "FLOAT"):
+            return f"CAST({float(v)!r} AS {t})"  # repr: exact IEEE round-trip
+        return f"CAST({int(v)} AS {t})"
+
+    if rows:
+        vals = ", ".join(
+            "(" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")"
+            for r in rows)
+        return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+    nulls = ", ".join(f"CAST(NULL AS {t})" for t in types)
+    return spark.sql(
+        f"SELECT * FROM VALUES ({nulls}) AS t({names}) WHERE 1=0")
+
+
 def _local_aggregate(searcher, query, aggs: Dict[str, Agg],
                      source) -> Optional[Dict[str, DataFrame]]:
     """Driver-side aggregation fast path (metrics + terms/multi_terms with
@@ -734,7 +773,7 @@ def _local_aggregate(searcher, query, aggs: Dict[str, Agg],
 
         rows = [tuple(_conv(r.get(f.name), f.dataType) for f in schema.fields)
                 for r in recs]
-        out[name] = spark.createDataFrame(rows, schema)
+        out[name] = _values_df(spark, rows, schema)
     searcher.last_metrics["local_agg"] = 1
     return out
 
@@ -781,7 +820,7 @@ def aggregate(searcher, query, aggs: Dict[str, Agg],
                     f"bucket rows; use a coarser interval, or run it as a "
                     f"single aggregation (the single-agg path returns a lazy "
                     f"DataFrame that never collects to the driver)")
-            out[name] = spark.createDataFrame(rows, df.schema)
+            out[name] = _values_df(spark, [tuple(r) for r in rows], df.schema)
         return out
     finally:
         base.unpersist()
