@@ -27,7 +27,21 @@ import tempfile
 import time
 
 
-def _session(cpus: int):
+def _ephemeral_root() -> str:
+    """Root for the bench's EPHEMERAL data (shuffle dirs + the throwaway
+    index).  This sandbox's virtio disk is write-through at ~15-35 MB/s
+    when co-tenants saturate the host device (measured: 512 MB buffered
+    write = 15 s, Dirty stays ~0 — the page cache never absorbs writes),
+    so disk-backed temp dirs measure the neighbours, not the engine.  A
+    real cluster puts shuffle and scratch on node-local SSDs; tmpfs is
+    this sandbox's stand-in.  Override with SPARK_GRAFT_WORKDIR."""
+    env = os.environ.get("SPARK_GRAFT_WORKDIR")
+    if env:
+        return env
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) else tempfile.gettempdir()
+
+
+def _session(cpus: int, workdir: str):
     from pyspark.sql import SparkSession
     return (
         SparkSession.builder.master(f"local[{cpus}]")
@@ -36,6 +50,7 @@ def _session(cpus: int):
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.local.dir", os.path.join(workdir, "spark-local"))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
@@ -163,8 +178,8 @@ def main():
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1"
-    workdir = tempfile.mkdtemp(prefix="t4s_bench_")
-    spark = _session(cpus)
+    workdir = tempfile.mkdtemp(prefix="t4s_bench_", dir=_ephemeral_root())
+    spark = _session(cpus, workdir)
     try:
         t0 = time.time()
         res = run_bench(spark, sf_dir, n_docs, workdir)
@@ -184,6 +199,8 @@ def main():
             "sf": float(sf),
             "build": res["build"],
             "docs_table_build": res["docs_table_build"],
+            "workdir": ("tmpfs" if workdir.startswith("/dev/shm")
+                        else "disk"),
         }
         print(json.dumps(out))
     finally:

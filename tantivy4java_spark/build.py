@@ -627,10 +627,20 @@ class IndexBuilder:
             "shard", F.shiftright(F.col("doc_id"), cfg.shard_bits).cast("long"))
         per_doc_term = per_doc_term.persist()
 
-        # positions table (position-indexed fields only; delta-varint binary;
-        # includes json fields — per-dot-path positions for phrase-over-path)
+        # The five per-segment jobs below are mutually independent once
+        # per_doc_term / docs are cached, so they run CONCURRENTLY and the
+        # segment tail is the slowest job (the postings encode), not the
+        # sum — the same fix the merge commit got (_merge_dirs).  Concurrent
+        # first-use of the shared caches is safe: the block manager takes a
+        # per-partition load lock, so one job computes a partition and the
+        # others wait for the block instead of recomputing it.
         pos_fields = [fc.name for fc in cfg.fields if fc.has_positions]
-        if pos_fields:
+        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
+
+        def _write_positions():
+            # positions table (position-indexed fields only; delta-varint
+            # binary; includes json fields — per-dot-path positions for
+            # phrase-over-path)
             (per_doc_term
              .filter(F.col("field").isin(pos_fields))
              .select("field", "term", "doc_id", "norm_id", "pos_bin")
@@ -638,32 +648,43 @@ class IndexBuilder:
              .sortWithinPartitions("field", "term", "doc_id")
              .write.mode("overwrite").parquet(os.path.join(seg_dir, "positions")))
 
-        # block-encoded postings (skew-proof: keyed by (field,term,shard))
-        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
-        enc = _encode_blocks_fn(cfg.block_size, with_scores=False)
-        (per_doc_term
-         .select("field", "term", "shard", "doc_id", "tf",
-                 F.col("norm_id").cast("long").alias("norm_id"))
-         .repartition(nparts, "field", "term", "shard")
-         .sortWithinPartitions("field", "term", "shard", "doc_id")
-         .mapInPandas(enc, _POSTINGS_SCHEMA)
-         .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))
+        def _write_postings():
+            # block-encoded postings (skew-proof: keyed by (field,term,shard))
+            enc = _encode_blocks_fn(cfg.block_size, with_scores=False)
+            (per_doc_term
+             .select("field", "term", "shard", "doc_id", "tf",
+                     F.col("norm_id").cast("long").alias("norm_id"))
+             .repartition(nparts, "field", "term", "shard")
+             .sortWithinPartitions("field", "term", "shard", "doc_id")
+             .mapInPandas(enc, _POSTINGS_SCHEMA)
+             .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))
 
-        # per-segment term stats (for global df at merge)
-        (per_doc_term.groupBy("field", "term")
-         .agg(F.count(F.lit(1)).cast("long").alias("df"),
-              F.sum("tf").cast("long").alias("total_tf"))
-         .write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats")))
+        def _write_termstats():
+            # per-segment term stats (for global df at merge)
+            (per_doc_term.groupBy("field", "term")
+             .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                  F.sum("tf").cast("long").alias("total_tf"))
+             .write.mode("overwrite").parquet(os.path.join(seg_dir, "termstats")))
 
-        # docs table
-        docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
+        def _write_docs():
+            docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
 
         # one agg job for all per-segment stats
         stat_exprs = [F.count(F.lit(1)).alias("_n"),
                       F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")]
         stat_exprs += [F.sum(F.col(f"len_{fc.name}")).alias(f"_tok_{fc.name}")
                        for fc, _ in tok_cols]
-        srow = docs.agg(*stat_exprs).collect()[0]
+
+        from concurrent.futures import ThreadPoolExecutor
+        jobs = [_write_postings, _write_termstats, _write_docs]
+        if pos_fields:
+            jobs.append(_write_positions)
+        with ThreadPoolExecutor(max_workers=len(jobs) + 1) as ex:
+            futs = [ex.submit(j) for j in jobs]
+            f_stats = ex.submit(lambda: docs.agg(*stat_exprs).collect()[0])
+            for f in futs:
+                f.result()
+            srow = f_stats.result()
         num_docs = srow["_n"]
         field_tokens = {fc.name: int(srow[f"_tok_{fc.name}"] or 0)
                         for fc, _ in tok_cols}

@@ -19,6 +19,14 @@ def spark():
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.driver.memory", "6g")
+        # shuffle/scratch on tmpfs: this sandbox's virtio disk is
+        # write-through (~15-35 MB/s under co-tenant load) and would
+        # dominate test wall time; shuffle data is ephemeral by definition
+        .config("spark.local.dir",
+                ("/dev/shm/t4s_test_spark_local"
+                 if os.access("/dev/shm", os.W_OK)
+                 else os.path.join(tempfile.gettempdir(),
+                                   "t4s_test_spark_local")))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
