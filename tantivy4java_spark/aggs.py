@@ -629,30 +629,71 @@ def _local_agg_plan(searcher, aggs: Dict[str, Agg], source) -> Optional[dict]:
             return dt in _LOCAL_AGG_NUM_DTYPES
         return dt in _LOCAL_AGG_KEY_DTYPES
 
+    def _subs_ok(agg: Agg):
+        metrics, nested = _split_sub(agg.sub)
+        if nested is not None:
+            return None
+        if not all(_metric_ok(m) for m in metrics.values()):
+            return None
+        return metrics
+
     plan = {}
     for name, agg in aggs.items():
         if isinstance(agg, _METRICS):
             if not _metric_ok(agg):
                 return None
-            plan[name] = ([], 0, {name: agg})
+            plan[name] = ("metric", [], 0, {name: agg})
         elif isinstance(agg, (Terms, MultiTerms)):
             keys = [agg.field] if isinstance(agg, Terms) else list(agg.fields)
             if any(dts.get(k) not in _LOCAL_AGG_KEY_DTYPES for k in keys):
                 return None
-            metrics, nested = _split_sub(agg.sub)
-            if nested is not None:
+            metrics = _subs_ok(agg)
+            if metrics is None:
                 return None
-            if not all(_metric_ok(m) for m in metrics.values()):
+            plan[name] = ("terms", keys, int(agg.size), metrics)
+        elif isinstance(agg, Histogram):
+            if dts.get(agg.field) not in _LOCAL_AGG_NUM_DTYPES:
                 return None
-            plan[name] = (keys, int(agg.size), metrics)
+            metrics = _subs_ok(agg)
+            if metrics is None:
+                return None
+            plan[name] = ("hist", [agg.field], 0, metrics)
+        elif isinstance(agg, DateHistogram):
+            # local scope: fixed_interval in UTC without bounds and without
+            # empty-bucket fill; calendar strides / time zones / bound
+            # snapping keep their carefully-tested cluster lowering
+            if (dts.get(agg.field) != "timestamp"
+                    or agg.calendar_interval is not None
+                    or agg.time_zone != "UTC"
+                    or agg.hard_bounds is not None
+                    or agg.min_doc_count < 1):
+                return None
+            try:
+                agg.seconds(), agg.offset_seconds()
+            except ValueError:
+                return None  # bad interval: cluster path raises it
+            metrics = _subs_ok(agg)
+            if metrics is None:
+                return None
+            plan[name] = ("date", [agg.field], 0, metrics)
+        elif isinstance(agg, RangeAgg):
+            if dts.get(agg.field) not in _LOCAL_AGG_NUM_DTYPES:
+                return None
+            if any("\x00" in k for k, _, _ in agg.ranges):
+                return None  # NUL label: unsafe in a VALUES literal
+            metrics = _subs_ok(agg)
+            if metrics is None:
+                return None
+            plan[name] = ("range", [agg.field], 0, metrics)
         else:
-            return None  # histogram/date_histogram/range: cluster lowering
+            return None
     return plan
 
 
 _SQL_TYPES = {"long": "BIGINT", "integer": "INT", "short": "SMALLINT",
               "byte": "TINYINT", "double": "DOUBLE", "float": "FLOAT",
-              "string": "STRING", "boolean": "BOOLEAN"}
+              "string": "STRING", "boolean": "BOOLEAN",
+              "timestamp": "TIMESTAMP"}
 
 
 def _values_df(spark, rows: List[tuple], schema) -> DataFrame:
@@ -664,6 +705,16 @@ def _values_df(spark, rows: List[tuple], schema) -> DataFrame:
         types = [_SQL_TYPES[f.dataType.typeName()] for f in schema.fields]
     except KeyError:
         return spark.createDataFrame(rows, schema)
+    if "TIMESTAMP" in types:
+        # timestamps are emitted as timestamp_micros(<long>) — session-tz
+        # independent — but only for tz-AWARE values (a naive datetime's
+        # instant depends on the collecting path's timezone convention;
+        # createDataFrame preserves that convention exactly)
+        import datetime as _dtm
+        for r in rows:
+            for v, t in zip(r, types):
+                if t == "TIMESTAMP" and v is not None and v.tzinfo is None:
+                    return spark.createDataFrame(rows, schema)
     names = ", ".join("`" + f.name.replace("`", "``") + "`"
                       for f in schema.fields)
 
@@ -677,13 +728,34 @@ def _values_df(spark, rows: List[tuple], schema) -> DataFrame:
             return "true" if v else "false"
         if t in ("DOUBLE", "FLOAT"):
             return f"CAST({float(v)!r} AS {t})"  # repr: exact IEEE round-trip
+        if t == "TIMESTAMP":
+            import datetime as _dtm
+            epoch = _dtm.datetime(1970, 1, 1, tzinfo=_dtm.timezone.utc)
+            us = (v - epoch) // _dtm.timedelta(microseconds=1)  # exact int
+            return f"timestamp_micros({int(us)})"  # foldable -> LocalRelation
         return f"CAST({int(v)} AS {t})"
 
     if rows:
         vals = ", ".join(
             "(" + ", ".join(lit(v, t) for v, t in zip(r, types)) + ")"
             for r in rows)
-        return spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+        df = spark.sql(f"SELECT * FROM VALUES {vals} AS t({names})")
+        # align nullability with the requested schema: all-non-null VALUES
+        # infer nullable=false, but callers compare schemas against the
+        # cluster lowering.  element_at(map(k, c), k) is value-identical,
+        # deterministic, and nullable (a map lookup can miss), and the
+        # ConvertToLocalRelation rule folds the projection back into the
+        # LocalRelation — still zero jobs at collect().  (if(true, c, null)
+        # and element_at(array(c), 1) don't work: Spark 4's nullability
+        # inference sees through both.)
+        fixes, changed = [], False
+        for want, got in zip(schema.fields, df.schema.fields):
+            c = F.col("`" + want.name.replace("`", "``") + "`")
+            if want.nullable and not got.nullable:
+                c = F.element_at(F.create_map(F.lit("k"), c), F.lit("k"))
+                changed = True
+            fixes.append(c.alias(want.name))
+        return df.select(*fixes) if changed else df
     nulls = ", ".join(f"CAST(NULL AS {t})" for t in types)
     return spark.sql(
         f"SELECT * FROM VALUES ({nulls}) AS t({names}) WHERE 1=0")
@@ -691,7 +763,8 @@ def _values_df(spark, rows: List[tuple], schema) -> DataFrame:
 
 def _local_aggregate(searcher, query, aggs: Dict[str, Agg],
                      source) -> Optional[Dict[str, DataFrame]]:
-    """Driver-side aggregation fast path (metrics + terms/multi_terms with
+    """Driver-side aggregation fast path (metrics, terms/multi_terms,
+    histogram, range, and fixed-interval-UTC date_histogram, each with
     metric sub-aggs): when the query's match set evaluates locally, the
     matched doc rows are read via pyarrow and aggregated in pandas —
     zero Spark jobs, same output schema BY CONSTRUCTION (taken from the
@@ -710,7 +783,7 @@ def _local_aggregate(searcher, query, aggs: Dict[str, Agg],
     matched = searcher._local_search_pdf(query)
     if matched is None:
         return None
-    fields = sorted({f for keys, _, metrics in plan.values()
+    fields = sorted({f for _, keys, _, metrics in plan.values()
                      for f in list(keys) + [m.field for m in metrics.values()]})
     path = os.path.join(searcher.index_dir, "docs")
     if not os.path.isdir(path):
@@ -719,7 +792,10 @@ def _local_aggregate(searcher, query, aggs: Dict[str, Agg],
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
-        tbl = pq.read_table(path, columns=["doc_id"] + fields)
+        # dedupe: a metric over doc_id itself would otherwise request the
+        # column twice and pyarrow raises (silent fallback to the slow path)
+        tbl = pq.read_table(
+            path, columns=["doc_id"] + [f for f in fields if f != "doc_id"])
         for f in fields:
             if pa.types.is_floating(tbl.schema.field(f).type):
                 col = tbl[f].drop_null()
@@ -738,13 +814,33 @@ def _local_aggregate(searcher, query, aggs: Dict[str, Agg],
     spark = searcher.docs().sparkSession
     probe = searcher.docs().limit(0)
     out: Dict[str, DataFrame] = {}
+    def _key_grouped_recs(sub: pd.DataFrame, karr, metrics) -> List[dict]:
+        """Group `sub` rows by the parallel key array; one rec per bucket."""
+        recs = []
+        for kv, g in sub.groupby(pd.Series(karr, index=sub.index),
+                                 sort=False):
+            rec = {"key": kv, "doc_count": len(g)}
+            for mname, m in metrics.items():
+                rec.update(_local_metric_vals(g[m.field], m, mname))
+            recs.append(rec)
+        return recs
+
     for name, agg in aggs.items():
-        keys, size, metrics = plan[name]
-        schema = apply_agg(probe, agg, name).schema  # plan-time only, no job
+        kind, keys, size, metrics = plan[name]
+        schema_agg = agg
+        if isinstance(agg, Histogram) and agg.min_doc_count == 0 \
+                and agg.extended_bounds is not None:
+            # schema is identical with/without the empty-bucket fill, but
+            # apply_agg's fill path collects span endpoints — a Spark job
+            # even on a zero-row probe; derive the schema without it
+            import dataclasses
+            schema_agg = dataclasses.replace(agg, min_doc_count=1,
+                                             extended_bounds=None)
+        schema = apply_agg(probe, schema_agg, name).schema  # plan-time, no job
         recs: List[dict] = []
-        if not keys:
+        if kind == "metric":
             recs.append(dict(_local_metric_vals(base[agg.field], agg, name)))
-        else:
+        elif kind == "terms":
             grouped = base.groupby(keys, sort=False, dropna=True)
             for kv, g in grouped:
                 kv = kv if isinstance(kv, tuple) else (kv,)
@@ -756,6 +852,93 @@ def _local_aggregate(searcher, query, aggs: Dict[str, Agg],
             recs.sort(key=lambda r: tuple(r[k] for k in keys))
             recs.sort(key=lambda r: -r["doc_count"])  # stable: count desc,
             recs = recs[:size]                        # then keys asc
+        elif kind == "hist":
+            # same float64 expression shape as Histogram.key_col():
+            #   floor((v - offset) / interval) * interval + offset
+            v = base[agg.field].astype("float64")
+            varr = v.to_numpy()
+            karr = (np.floor((varr - agg.offset) / agg.interval)
+                    * agg.interval + agg.offset)
+            mask = v.notna().to_numpy()
+            if agg.hard_bounds is not None:
+                lo_s, hi_s = [_snap_numeric(agg, float(b))
+                              for b in agg.hard_bounds]
+                mask &= (karr >= lo_s) & (karr <= hi_s)
+            recs = _key_grouped_recs(base[mask], karr[mask], metrics)
+            if agg.min_doc_count > 0:
+                recs = [r for r in recs
+                        if r["doc_count"] >= agg.min_doc_count]
+            elif agg.extended_bounds is not None:
+                # integer-index fill, mirroring _fill_numeric_buckets:
+                # counted buckets keep their own (grouped) key; generated
+                # keys are lo + i*interval; metrics stay null, count 0
+                lo_b, hi_b = agg.extended_bounds
+                kmin = min([r["key"] for r in recs]
+                           + [_snap_numeric(agg, float(lo_b))])
+                kmax = max([r["key"] for r in recs]
+                           + [_snap_numeric(agg, float(hi_b))])
+                n = int(round((kmax - kmin) / agg.interval)) + 1
+                if n > MAX_BUCKETS:
+                    raise TooManyBucketsError(
+                        f"histogram empty-bucket fill would generate {n} "
+                        f"buckets (> {MAX_BUCKETS}); use a coarser interval "
+                        f"or min_doc_count>=1")
+                by_idx = {int(round((r["key"] - kmin) / agg.interval)): r
+                          for r in recs}
+                recs = [by_idx.get(i, {"key": kmin + i * agg.interval,
+                                       "doc_count": 0})
+                        for i in range(n)]
+            recs.sort(key=lambda r: r["key"])
+        elif kind == "date":
+            import datetime as _dtm
+            vals = base[agg.field]
+            mask = vals.notna().to_numpy()
+            us = vals.to_numpy().astype("datetime64[us]").astype("int64")
+            if mask.any() and (us[mask] < 0).any():
+                return None  # pre-1970: integer-division rounding differs
+            secs, off = agg.seconds(), agg.offset_seconds()
+            # key_col(): floor((unix_seconds - off) / secs) * secs + off;
+            # unix_timestamp truncates to whole seconds (floorDiv on µs)
+            es = us // 1_000_000
+            karr = (np.floor((es - off) / secs) * secs + off).astype("int64")
+            recs = _key_grouped_recs(base[mask], karr[mask], metrics)
+            if agg.min_doc_count > 1:
+                recs = [r for r in recs
+                        if r["doc_count"] >= agg.min_doc_count]
+            for r in recs:
+                r["key"] = _dtm.datetime.fromtimestamp(
+                    int(r["key"]), _dtm.timezone.utc)
+            recs.sort(key=lambda r: r["key"])
+        elif kind == "range":
+            # first matching range wins (RangeAgg.key_col cascade order);
+            # [from, to) bounds compared in float64, same as the cast chain
+            v = base[agg.field].astype("float64")
+            varr = v.to_numpy()
+            unset = v.notna().to_numpy()
+            lab = np.full(len(varr), None, dtype=object)
+            for kname, lo, hi in agg.ranges:
+                c = unset.copy()
+                if lo is not None:
+                    c &= varr >= float(lo)
+                if hi is not None:
+                    c &= varr < float(hi)
+                lab[c] = kname
+                unset &= ~c
+            mask = np.array([x is not None for x in lab], dtype=bool)
+            recs = _key_grouped_recs(base[mask], lab[mask], metrics)
+            recs.sort(key=lambda r: r["key"])
+
+        if len(recs) > MAX_BUCKETS:
+            # mirror the cluster paths exactly: the eager multi-agg collect
+            # raises past the cap, the single-agg path stays lazy (so fall
+            # back to it — the cluster frame never collects to the driver)
+            if len(aggs) > 1:
+                raise TooManyBucketsError(
+                    f"aggregation {name!r} produced more than {MAX_BUCKETS} "
+                    f"bucket rows; use a coarser interval, or run it as a "
+                    f"single aggregation (the single-agg path returns a lazy "
+                    f"DataFrame that never collects to the driver)")
+            return None
 
         def _conv(v, dt):
             if v is None or (np.isscalar(v) and pd.isna(v)):
@@ -769,6 +952,8 @@ def _local_aggregate(searcher, query, aggs: Dict[str, Agg],
                 return str(v)
             if t == "boolean":
                 return bool(v)
+            if t == "timestamp":
+                return v  # tz-aware datetime (UTC) from the date branch
             return v
 
         rows = [tuple(_conv(r.get(f.name), f.dataType) for f in schema.fields)

@@ -355,3 +355,92 @@ def test_count_local_matches_cluster(spark, idx, monkeypatch):
     monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
     s2 = IndexSearcher(spark, idx)
     assert local_counts == [s2.count(q) for q in queries]
+
+
+def test_local_bucket_aggs_match_cluster(spark, typed_idx, monkeypatch):
+    """Histogram / RangeAgg / fixed-interval-UTC DateHistogram on the
+    driver-side aggregation fast path: exact schema + row identity with the
+    cluster lowering across offsets, hard_bounds, min_doc_count filtering,
+    extended_bounds empty-bucket fill, nullable metric columns, and the
+    first-match-wins range cascade."""
+    from tantivy4java_spark import aggs as A
+
+    AGGS = {
+        "h_plain": A.Histogram("n", interval=50.0),
+        "h_mdc": A.Histogram("n", interval=50.0, offset=7.0,
+                             min_doc_count=2,
+                             sub={"s": A.Sum("opt"), "st": A.Stats("n")}),
+        "h_hard": A.Histogram("n", interval=50.0, hard_bounds=(60, 310)),
+        "h_fill": A.Histogram("n", interval=50.0, min_doc_count=0,
+                              extended_bounds=(-100, 600),
+                              sub={"mx": A.Max("opt")}),
+        "h_nullable": A.Histogram("opt", interval=25.0),
+        "d_day": A.DateHistogram("ts", fixed_interval="1d",
+                                 sub={"c": A.Count("doc_id")}),
+        "d_12h": A.DateHistogram("ts", fixed_interval="12h",
+                                 min_doc_count=3),
+        "d_off": A.DateHistogram("ts", fixed_interval="1d", offset="+6h"),
+        "r_basic": A.RangeAgg("n", ranges=[("low", None, 100.0),
+                                           ("mid", 100.0, 300.0),
+                                           ("high", 300.0, None)],
+                              sub={"s": A.Sum("n")}),
+        "r_overlap": A.RangeAgg("n", ranges=[("a", 0.0, 200.0),
+                                             ("b", 100.0, 400.0)]),
+    }
+
+    def run(s):
+        out = {}
+        for k, agg in AGGS.items():
+            res = A.aggregate(s, Q.Term("content", "import"), {k: agg})[k]
+            out[k] = (res.schema, [tuple(r) for r in res.collect()])
+        return out
+
+    s = IndexSearcher(spark, typed_idx)
+    got = run(s)
+    assert s.last_metrics.get("local_agg") == 1
+    assert all(len(rows) > 0 for _, rows in got.values())
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
+    s2 = IndexSearcher(spark, typed_idx)
+    want = run(s2)
+    for k in AGGS:
+        assert got[k][0] == want[k][0], f"{k}: schema"
+        assert got[k][1] == want[k][1], f"{k}: rows"
+
+
+def test_local_bucket_agg_fallback_gates(spark, typed_idx):
+    """Shapes the local aggregation path must NOT take (they keep the
+    tested cluster lowering) while still answering correctly."""
+    from tantivy4java_spark import aggs as A
+
+    s = IndexSearcher(spark, typed_idx)
+    # calendar interval and non-UTC tz: cluster-only
+    for agg in [A.DateHistogram("ts", fixed_interval=None,
+                                calendar_interval="1w"),
+                A.DateHistogram("ts", fixed_interval="1d",
+                                time_zone="America/New_York"),
+                A.DateHistogram("ts", fixed_interval="1d", min_doc_count=0)]:
+        s.last_metrics.pop("local_agg", None)
+        rows = A.aggregate(s, Q.Term("content", "import"),
+                           {"d": agg})["d"].collect()
+        assert s.last_metrics.get("local_agg") != 1
+        assert len(rows) > 0
+    # nested bucket sub-aggregation: cluster-only
+    s.last_metrics.pop("local_agg", None)
+    nested = A.Histogram("n", interval=100.0, min_doc_count=1,
+                         sub={"inner": A.Terms("n", size=2)})
+    rows = A.aggregate(s, Q.Term("content", "import"),
+                       {"h": nested})["h"].collect()
+    assert s.last_metrics.get("local_agg") != 1
+    assert len(rows) > 0
+
+
+def test_local_histogram_fill_guard(spark, typed_idx):
+    """The local fill honors MAX_BUCKETS exactly like the cluster path:
+    a degenerate interval raises TooManyBucketsError, never a driver OOM."""
+    from tantivy4java_spark import aggs as A
+
+    s = IndexSearcher(spark, typed_idx)
+    agg = A.Histogram("n", interval=0.001, min_doc_count=0,
+                      extended_bounds=(0, 1000))
+    with pytest.raises(A.TooManyBucketsError):
+        A.aggregate(s, Q.Term("content", "import"), {"h": agg})
