@@ -41,6 +41,17 @@ from tantivy4java_spark.searcher import IndexSearcher
 _SEARCHERS: dict = {}
 
 
+def _cache_root() -> str:
+    """Ephemeral index-cache root.  tmpfs when available: this sandbox's
+    disk is write-through at ~15-35 MB/s under co-tenant load, and these
+    indexes are throwaway per-process caches."""
+    env = os.environ.get("SPARK_GRAFT_WORKDIR")
+    if env:
+        return env
+    return "/dev/shm" if os.access("/dev/shm", os.W_OK) \
+        else tempfile.gettempdir()
+
+
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = os.path.abspath(sf_dir)
     if key in _SEARCHERS:
@@ -48,7 +59,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     import tantivy4java_spark
     tag = hashlib.md5(
         f"{key}:{tantivy4java_spark.__version__}:7".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_docs_index_{tag}")
+    idx_dir = os.path.join(_cache_root(), f"t4s_docs_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         build_index(spark, docs, documents_config(), idx_dir,
@@ -65,7 +76,7 @@ def _events_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     import tantivy4java_spark
     tag = hashlib.md5(
         f"{key}:{tantivy4java_spark.__version__}:7".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_events_index_{tag}")
+    idx_dir = os.path.join(_cache_root(), f"t4s_events_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         cfg = IndexConfig(
@@ -91,7 +102,7 @@ def _jdocs_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     import tantivy4java_spark
     tag = hashlib.md5(
         f"{key}:{tantivy4java_spark.__version__}:7".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_jdocs_index_{tag}")
+    idx_dir = os.path.join(_cache_root(), f"t4s_jdocs_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
         jd = docs.select(
@@ -115,7 +126,7 @@ def _enriched_searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     import tantivy4java_spark
     tag = hashlib.md5(
         f"{key}:{tantivy4java_spark.__version__}:7".encode()).hexdigest()[:10]
-    idx_dir = os.path.join(tempfile.gettempdir(), f"t4s_enriched_index_{tag}")
+    idx_dir = os.path.join(_cache_root(), f"t4s_enriched_index_{tag}")
     if not os.path.exists(os.path.join(idx_dir, "stats.json")):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         enr = ev.select(

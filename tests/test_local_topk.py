@@ -444,3 +444,83 @@ def test_local_histogram_fill_guard(spark, typed_idx):
                       extended_bounds=(0, 1000))
     with pytest.raises(A.TooManyBucketsError):
         A.aggregate(s, Q.Term("content", "import"), {"h": agg})
+
+
+def test_local_agg_fuzz_two_paths(spark, typed_idx, monkeypatch):
+    """Random aggregation requests through BOTH the driver-side fast path
+    and the forced-cluster lowering: schema + row identity on every shape.
+    Mirrors the query-tree fuzz sweep's two-path design (test_fuzz)."""
+    import random
+
+    from tantivy4java_spark import aggs as A
+
+    rng = random.Random(20260817)
+    METRIC_FIELDS = ["n", "opt", "doc_id"]
+    QUERIES = [Q.Term("content", "import"), Q.Term("content", "public"),
+               Q.Range("n", lower=30, upper=350), Q.MatchAll()]
+
+    def rand_metric():
+        cls = rng.choice([A.Sum, A.Avg, A.Min, A.Max, A.Count, A.Stats])
+        return cls(rng.choice(METRIC_FIELDS))
+
+    def rand_sub():
+        return ({f"m{i}": rand_metric() for i in range(rng.randint(1, 2))}
+                if rng.random() < 0.5 else {})
+
+    def rand_agg():
+        r = rng.random()
+        if r < 0.2:
+            return rand_metric()
+        if r < 0.4:
+            interval = rng.choice([10.0, 25.0, 50.0, 130.0])
+            kw = dict(interval=interval, offset=rng.choice([0.0, 3.0, -7.0]),
+                      min_doc_count=rng.choice([0, 0, 1, 2]), sub=rand_sub())
+            if rng.random() < 0.3:
+                kw["hard_bounds"] = (rng.uniform(-50, 100),
+                                     rng.uniform(150, 450))
+            if kw["min_doc_count"] == 0 and rng.random() < 0.5:
+                kw["extended_bounds"] = (rng.uniform(-300, 0),
+                                         rng.uniform(400, 900))
+            return A.Histogram(rng.choice(["n", "opt"]), **kw)
+        if r < 0.6:
+            return A.DateHistogram(
+                "ts", fixed_interval=rng.choice(["6h", "12h", "1d", "3d"]),
+                offset=rng.choice(["0s", "+6h", "-2h"]),
+                min_doc_count=rng.choice([1, 1, 3]), sub=rand_sub())
+        if r < 0.8:
+            cuts = sorted(rng.sample(range(0, 400, 10), rng.randint(2, 4)))
+            ranges = [("lo", None, float(cuts[0]))]
+            ranges += [(f"r{i}", float(a), float(b))
+                       for i, (a, b) in enumerate(zip(cuts, cuts[1:]))]
+            ranges.append(("hi", float(cuts[-1]), None))
+            if rng.random() < 0.3:  # overlap: first-match-wins cascade
+                ranges.insert(1, ("overlap", float(cuts[0]) - 5.0,
+                                  float(cuts[0]) + 45.0))
+            return A.RangeAgg("n", ranges=ranges, sub=rand_sub())
+        return A.Terms(rng.choice(["n", "opt"]), size=rng.randint(1, 8),
+                       sub=rand_sub())
+
+    cases = []
+    for i in range(40):
+        q = rng.choice(QUERIES)
+        aggs = {f"a{j}": rand_agg() for j in range(rng.randint(1, 3))}
+        cases.append((q, aggs))
+
+    def run(s):
+        outs = []
+        for q, aggs in cases:
+            res = A.aggregate(s, q, aggs)
+            outs.append({k: (df.schema, [tuple(r) for r in df.collect()])
+                         for k, df in res.items()})
+        return outs
+
+    s = IndexSearcher(spark, typed_idx)
+    got = run(s)
+    assert s.last_metrics.get("local_agg") == 1
+    monkeypatch.setattr(IndexSearcher, "LOCAL_TOPK_MAX_ROWS", 0)
+    s2 = IndexSearcher(spark, typed_idx)
+    want = run(s2)
+    for i, ((q, aggs), g, w) in enumerate(zip(cases, got, want)):
+        for k in aggs:
+            assert g[k][0] == w[k][0], f"case {i} {k} ({aggs[k]}): schema"
+            assert g[k][1] == w[k][1], f"case {i} {k} ({aggs[k]}): rows"
