@@ -588,6 +588,10 @@ def _local_metric_vals(s, agg: Agg, prefix: str):
     semantics: aggregates over zero non-null values yield null (pandas'
     sum-of-empty-is-0 does NOT match Spark)."""
     nn = s.dropna()
+    if str(nn.dtype) == "float32" and isinstance(agg, (Sum, Avg, Stats)):
+        # Spark widens float sums/averages to double; pandas would
+        # accumulate in float32 and diverge (min/max/count are exact)
+        nn = nn.astype("float64")
     n = len(nn)
     if isinstance(agg, Count):
         return [(prefix, n)]

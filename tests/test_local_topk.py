@@ -524,3 +524,29 @@ def test_local_agg_fuzz_two_paths(spark, typed_idx, monkeypatch):
         for k in aggs:
             assert g[k][0] == w[k][0], f"case {i} {k} ({aggs[k]}): schema"
             assert g[k][1] == w[k][1], f"case {i} {k} ({aggs[k]}): rows"
+
+
+def test_local_metric_float32_widens_like_spark(spark):
+    """Spark widens float32 sums/averages to double; the local metric
+    kernel must too (float32 accumulation visibly diverges: mean of
+    333x[.1,.2,.7,1e7,.3,.4] differs in the 9th digit)."""
+    import numpy as np
+    import pandas as pd
+
+    from tantivy4java_spark import aggs as A
+
+    import math
+
+    pdf = pd.DataFrame({"x": np.float32([0.1, 0.2, 0.7, 1e7, 0.3, 0.4] * 333)})
+    df = spark.createDataFrame(pdf)
+    for agg in [A.Sum("x"), A.Avg("x"), A.Min("x"), A.Max("x"),
+                A.Stats("x")]:
+        want = [tuple(r) for r in A.apply_agg(df, agg, "m").collect()][0]
+        got = tuple(v for _, v in A._local_metric_vals(pdf["x"], agg, "m"))
+        # double summation order differs between Spark's per-partition
+        # partials and numpy's pairwise sum — a few ulps (rel ~1e-15) is
+        # inherent; the float32-accumulation bug this test pins diverged
+        # at rel ~5e-8, far past this tolerance
+        for g, w in zip(got, want):
+            assert math.isclose(float(g), float(w), rel_tol=1e-12), \
+                (type(agg).__name__, g, w)
