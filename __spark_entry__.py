@@ -474,6 +474,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "doc_count", "types_event_type", "types_doc_count")
     q["a09_nested_buckets"] = _a09
 
+    # ES-compatible aggregation JSON DSL — the reference's wire format
+    # (aggregation/*.java toAggregationJson, SplitSearcher.aggregate):
+    # the raw spec string parses to the same dataclasses and runs through
+    # aggregate(); a reference user's JSON requests run unchanged
+    def _a10(sp, sf):
+        spec = ('{"by_type": {"terms": {"field": "event_type", "size": 5}, '
+                '"aggs": {"s": {"stats": {"field": "value"}}}}}')
+        out = A.aggregate(_events_searcher(sp, sf), Q.MatchAll(),
+                          spec)["by_type"]
+        return out.select("event_type", "doc_count", "s_count",
+                          F.round("s_sum", 4).alias("s_sum"),
+                          F.round("s_avg", 6).alias("s_avg"),
+                          F.round("s_min", 6).alias("s_min"),
+                          F.round("s_max", 6).alias("s_max"))
+    q["a10_agg_json_dsl"] = _a10
+
     # ---- dedup -------------------------------------------------------------
     def _docs_with_copies(sp, sf):
         d = _docs(sp, sf).select(F.col("doc_id").alias("id"), "text")
@@ -841,6 +857,13 @@ w AS (SELECT k, event_type, c,
 SELECT strftime(k, '%Y-%m-%d') AS day, doc_count::BIGINT AS doc_count,
        event_type AS types_event_type, c::BIGINT AS types_doc_count
 FROM w WHERE rn <= 3 ORDER BY day, types_event_type"""
+    o["a10_agg_json_dsl"] = """
+SELECT event_type, count(*) AS doc_count,
+       count(value) AS s_count, round(sum(value), 4) AS s_sum,
+       round(avg(value), 6) AS s_avg, round(min(value), 6) AS s_min,
+       round(max(value), 6) AS s_max
+FROM events GROUP BY event_type
+ORDER BY doc_count DESC, event_type ASC LIMIT 5"""
 
     # ---- dedup --------------------------------------------------------------
     _union = ("SELECT doc_id AS id, text FROM documents UNION ALL "

@@ -982,7 +982,16 @@ def aggregate(searcher, query, aggs: Dict[str, Agg],
     the block is unpersisted before returning.  (Returning lazy frames over
     a persisted base would leak the cached block: Spark's CacheManager
     holds it strongly until an explicit unpersist.)
+
+    ``aggs`` may also be the reference's ES-compatible aggregation JSON
+    (string or dict — the exact toAggregationJson() wire format); it is
+    parsed via aggs_json.parse_aggregations.
     """
+    if isinstance(aggs, str) or (
+            isinstance(aggs, dict) and aggs
+            and all(isinstance(v, dict) for v in aggs.values())):
+        from tantivy4java_spark.aggs_json import parse_aggregations
+        aggs = parse_aggregations(aggs)
     local = _local_aggregate(searcher, query, aggs, source)
     if local is not None:
         return local
