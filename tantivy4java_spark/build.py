@@ -627,13 +627,16 @@ class IndexBuilder:
             "shard", F.shiftright(F.col("doc_id"), cfg.shard_bits).cast("long"))
         per_doc_term = per_doc_term.persist()
 
-        # The five per-segment jobs below are mutually independent once
+        # The per-segment write jobs below are mutually independent once
         # per_doc_term / docs are cached, so they run CONCURRENTLY and the
         # segment tail is the slowest job (the postings encode), not the
-        # sum — the same fix the merge commit got (_merge_dirs).  Concurrent
-        # first-use of the shared caches is safe: the block manager takes a
-        # per-partition load lock, so one job computes a partition and the
-        # others wait for the block instead of recomputing it.
+        # sum — the same fix the merge commit got (_merge_dirs).  The caches
+        # are materialized FIRST by dedicated jobs: letting the writers race
+        # to build them measured 46% slower at 8 cores (200k docs, 101.6 s
+        # vs 69.4 s serial) because concurrent first-use serializes on the
+        # block manager's per-partition load locks while the blocked tasks
+        # hold task slots — the expensive tokenize pass must run once at
+        # full cluster width before any fan-out.
         pos_fields = [fc.name for fc in cfg.fields if fc.has_positions]
         nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
 
@@ -675,16 +678,20 @@ class IndexBuilder:
         stat_exprs += [F.sum(F.col(f"len_{fc.name}")).alias(f"_tok_{fc.name}")
                        for fc, _ in tok_cols]
 
+        # materialize the shared caches at full width, one job each: the
+        # stats agg doubles as the docs-cache builder, and a count() forces
+        # the tokenize pass into the per_doc_term cache exactly once
+        srow = docs.agg(*stat_exprs).collect()[0]
+        per_doc_term.count()
+
         from concurrent.futures import ThreadPoolExecutor
         jobs = [_write_postings, _write_termstats, _write_docs]
         if pos_fields:
             jobs.append(_write_positions)
-        with ThreadPoolExecutor(max_workers=len(jobs) + 1) as ex:
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
             futs = [ex.submit(j) for j in jobs]
-            f_stats = ex.submit(lambda: docs.agg(*stat_exprs).collect()[0])
             for f in futs:
                 f.result()
-            srow = f_stats.result()
         num_docs = srow["_n"]
         field_tokens = {fc.name: int(srow[f"_tok_{fc.name}"] or 0)
                         for fc, _ in tok_cols}
