@@ -158,6 +158,10 @@ class DateHistogram(Agg):
     min_doc_count: int = 1
     extended_bounds: Optional[Tuple] = None
     hard_bounds: Optional[Tuple] = None
+    # setFormat (DateHistogramAggregation.java:135-139): Java
+    # DateTimeFormatter pattern; adds a key_as_string column rendering each
+    # bucket key's wall-clock in the aggregation's time_zone
+    format: Optional[str] = None
 
     _UNITS = {"d": 86400, "h": 3600, "m": 60, "s": 1}
     # ES calendar units; '1M' (month) vs '1m' (minute) is case-sensitive
@@ -208,6 +212,17 @@ class DateHistogram(Agg):
                 F.floor(epoch / F.lit(secs)) * F.lit(secs) + F.lit(off))
         return k if self.time_zone == "UTC" \
             else F.to_utc_timestamp(k, self.time_zone)
+
+    def key_str_col(self, spark, key: Column) -> Column:
+        """Render the bucket-key instant as wall-clock in this agg's
+        time_zone, independent of the session time zone: date_format reads
+        the session zone S, so shift the instant by (offset(zone) -
+        offset(S)) first (to_utc_timestamp undoes S, from_utc_timestamp
+        applies the target zone)."""
+        sess = spark.conf.get("spark.sql.session.timeZone")
+        shifted = F.from_utc_timestamp(F.to_utc_timestamp(key, sess),
+                                       self.time_zone)
+        return F.date_format(shifted, self.format)
 
 
 @dataclass
@@ -428,6 +443,10 @@ def _inner_bucket_cols(name: str, agg: Agg):
             raise ValueError(
                 f"nested bucket sub-aggregation {name!r}: hard_bounds / "
                 f"extended_bounds are not supported on an inner histogram")
+        if getattr(agg, "format", None) is not None:
+            raise ValueError(
+                f"nested bucket sub-aggregation {name!r}: format is not "
+                f"supported on an inner date_histogram")
         return [agg.key_col().alias(f"{name}_key")], [f"{name}_key"]
     if isinstance(agg, RangeAgg):
         return [agg.key_col().alias(f"{name}_key")], [f"{name}_key"]
@@ -555,6 +574,9 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
                 ["key"], nested)  # null-field docs ignored, as non-nested
             if agg.min_doc_count > 1:
                 out = out.filter(F.col("doc_count") >= agg.min_doc_count)
+            if agg.format is not None:
+                out = out.withColumn("key_as_string", agg.key_str_col(
+                    df.sparkSession, F.col("key")))
             return out.orderBy("key", *in_names)
         out = df.groupBy(kc.alias("key")).agg(*_sub_exprs(agg.sub)) \
             .filter(F.col("key").isNotNull())
@@ -562,6 +584,10 @@ def apply_agg(df: DataFrame, agg: Agg, name: str = "value") -> DataFrame:
             out = _fill_date_buckets(out, agg)
         elif agg.min_doc_count > 1:
             out = out.filter(F.col("doc_count") >= agg.min_doc_count)
+        if agg.format is not None:
+            # after the fill so synthesized empty buckets get strings too
+            out = out.withColumn("key_as_string", agg.key_str_col(
+                df.sparkSession, F.col("key")))
         return out.orderBy("key")
     if isinstance(agg, RangeAgg):
         key = agg.key_col().alias("key")
@@ -670,7 +696,8 @@ def _local_agg_plan(searcher, aggs: Dict[str, Agg], source) -> Optional[dict]:
                     or agg.calendar_interval is not None
                     or agg.time_zone != "UTC"
                     or agg.hard_bounds is not None
-                    or agg.min_doc_count < 1):
+                    or agg.min_doc_count < 1
+                    or agg.format is not None):
                 return None
             try:
                 agg.seconds(), agg.offset_seconds()

@@ -99,6 +99,8 @@ def _parse_one(node: dict) -> Agg:
             kw["offset"] = body["offset"]
         if "time_zone" in body:
             kw["time_zone"] = body["time_zone"]
+        if "format" in body:
+            kw["format"] = body["format"]
         if "min_doc_count" in body:
             kw["min_doc_count"] = int(body["min_doc_count"])
         for b in ("hard_bounds", "extended_bounds"):
@@ -195,6 +197,8 @@ def to_aggregation_json(agg: Agg) -> dict:
             body["time_zone"] = agg.time_zone
         if agg.min_doc_count != 1:
             body["min_doc_count"] = agg.min_doc_count
+        if agg.format is not None:
+            body["format"] = agg.format
         for name, v in (("hard_bounds", agg.hard_bounds),
                         ("extended_bounds", agg.extended_bounds)):
             if v is not None:

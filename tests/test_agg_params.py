@@ -120,3 +120,57 @@ def test_calendar_quarter_year_week(spark, events_df):
     got = _buckets(w)
     assert all(k.weekday() == 0 for k, _ in got)  # Monday starts
     assert sum(c for _, c in got) == 33
+
+
+def test_format_key_as_string(spark, events_df):
+    # setFormat (DateHistogramAggregation.java:135-139): a key_as_string
+    # column renders each bucket key with the given pattern
+    out = A.apply_agg(events_df, A.DateHistogram(
+        "ts", calendar_interval="1M", format="yyyy-MM-dd"))
+    rows = out.collect()
+    assert "key_as_string" in out.columns
+    assert [r["key_as_string"] for r in rows] == \
+        ["2024-01-01", "2024-02-01", "2024-03-01"]
+
+
+def test_format_renders_in_agg_time_zone(spark, events_df):
+    # bucket keys are UTC instants; key_as_string shows the agg zone's
+    # wall-clock (daily buckets in UTC+9 start at 15:00 UTC the day before)
+    out = A.apply_agg(events_df, A.DateHistogram(
+        "ts", fixed_interval="1d", time_zone="Asia/Tokyo",
+        format="yyyy-MM-dd HH:mm"))
+    first = out.orderBy("key").first()
+    assert first["key"].strftime("%H:%M") == "15:00"
+    assert first["key_as_string"].endswith("00:00")
+
+
+def test_format_independent_of_session_time_zone(spark, events_df):
+    out_utc = A.apply_agg(events_df, A.DateHistogram(
+        "ts", fixed_interval="1d", format="yyyy-MM-dd HH:mm"))
+    want = [r["key_as_string"] for r in out_utc.collect()]
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        out_ny = A.apply_agg(events_df, A.DateHistogram(
+            "ts", fixed_interval="1d", format="yyyy-MM-dd HH:mm"))
+        assert [r["key_as_string"] for r in out_ny.collect()] == want
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def test_format_fills_empty_buckets(spark):
+    import pandas as pd
+    df = spark.createDataFrame(pd.DataFrame({
+        "ts": [dtm.datetime(2024, 1, 1), dtm.datetime(2024, 1, 4)]}))
+    out = A.apply_agg(df, A.DateHistogram(
+        "ts", fixed_interval="1d", min_doc_count=0, format="yyyy-MM-dd"))
+    rows = out.orderBy("key").collect()
+    assert [r["key_as_string"] for r in rows] == \
+        ["2024-01-0%d" % d for d in (1, 2, 3, 4)]
+    assert [r["doc_count"] for r in rows] == [1, 0, 0, 1]
+
+
+def test_format_rejected_on_inner_date_histogram(spark, events_df):
+    with pytest.raises(ValueError, match="format is not supported"):
+        A.apply_agg(events_df, A.Terms(
+            "value", sub={"per_day": A.DateHistogram(
+                "ts", fixed_interval="1d", format="yyyy-MM-dd")}))

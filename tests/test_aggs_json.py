@@ -141,3 +141,14 @@ def test_aggregate_accepts_json_spec(spark, tmp_path_factory):
     assert [tuple(r) for r in got.collect()] == \
         [tuple(r) for r in want.collect()]
     assert got.schema == want.schema
+
+
+def test_format_round_trips():
+    # setFormat (DateHistogramAggregation.java:135-139, toAggregationJson
+    # :249-251): "format" parses into DateHistogram.format and emits back
+    spec = {"daily": {"date_histogram": {
+        "field": "ts", "fixed_interval": "1d", "format": "yyyy-MM-dd"}}}
+    parsed = parse_aggregations(json.dumps(spec))
+    assert parsed["daily"].format == "yyyy-MM-dd"
+    assert to_aggregation_json(parsed["daily"])["date_histogram"]["format"] \
+        == "yyyy-MM-dd"
