@@ -37,6 +37,35 @@ from tantivy4java_spark.aggs import (Agg, Avg, Cardinality, Count,
 _METRIC_KEYS = {"value_count": Count, "sum": Sum, "avg": Avg, "min": Min,
                 "max": Max, "stats": Stats, "cardinality": Cardinality}
 
+# Exactly the option keys each reference emitter can write (grep of the
+# toAggregationJson() bodies) plus the ES long forms we accept.  Anything
+# else raises: an option we cannot honor (e.g. terms "order", metric
+# "missing") must fail loudly, never silently change the result set.
+# - shard_size: accepted and dropped — Spark's map-side partial aggregation
+#   is the exact mechanism shard_size tunes, and it is always on.
+# - keyed: accepted and dropped — it shapes the HTTP response (map vs
+#   array of buckets), not the bucket keys/values; our results are
+#   DataFrames, which have no such ambiguity.
+_ALLOWED_KEYS = {
+    "terms": {"field", "size", "shard_size"},
+    "multi_terms": {"terms", "size", "shard_size"},
+    "histogram": {"field", "interval", "offset", "min_doc_count",
+                  "hard_bounds", "extended_bounds", "keyed"},
+    "date_histogram": {"field", "fixed_interval", "calendar_interval",
+                       "offset", "time_zone", "format", "min_doc_count",
+                       "hard_bounds", "extended_bounds", "keyed"},
+    "range": {"field", "ranges", "keyed"},
+}
+_ALLOWED_KEYS.update({k: {"field"} for k in _METRIC_KEYS})
+
+
+def _check_keys(kind: str, body: dict) -> None:
+    extra = set(body) - _ALLOWED_KEYS[kind]
+    if extra:
+        raise ValueError(
+            f"{kind} aggregation: unsupported option(s) {sorted(extra)} "
+            f"(supported: {sorted(_ALLOWED_KEYS[kind])})")
+
 
 def _bounds(body: dict, name: str):
     b = body.get(name)
@@ -66,6 +95,11 @@ def _parse_one(node: dict) -> Agg:
         raise ValueError(
             f"aggregation node must have exactly one type key, got {kinds}")
     kind, body = kinds[0], node[kinds[0]]
+    if kind not in _ALLOWED_KEYS:
+        raise ValueError(f"unknown aggregation type {kind!r}")
+    if not isinstance(body, dict):
+        raise ValueError(f"{kind} aggregation body must be an object")
+    _check_keys(kind, body)
     sub = _sub_aggs(node)
     if kind in _METRIC_KEYS:
         if sub:
@@ -114,6 +148,10 @@ def _parse_one(node: dict) -> Agg:
     if kind == "range":
         ranges = []
         for r in body["ranges"]:
+            extra = set(r) - {"key", "from", "to"}
+            if extra:
+                raise ValueError(
+                    f"range bucket: unsupported option(s) {sorted(extra)}")
             lo = float(r["from"]) if "from" in r and r["from"] is not None \
                 else None
             hi = float(r["to"]) if "to" in r and r["to"] is not None else None

@@ -113,6 +113,31 @@ def test_parse_errors():
         parse_aggregations({"x": {"date_histogram": {"field": "ts"}}})
 
 
+def test_unsupported_options_raise():
+    """Options the executor cannot honor fail loudly (never a silently
+    different result set): ES terms "order"/"missing", metric "missing",
+    unknown histogram knobs, extra range-bucket keys."""
+    with pytest.raises(ValueError, match="unsupported option.*order"):
+        parse_aggregations({"x": {"terms": {
+            "field": "a", "order": {"_count": "asc"}}}})
+    with pytest.raises(ValueError, match="unsupported option.*missing"):
+        parse_aggregations({"x": {"avg": {"field": "a", "missing": 0}}})
+    with pytest.raises(ValueError, match="unsupported option"):
+        parse_aggregations({"x": {"histogram": {
+            "field": "a", "interval": 5, "missing": 0}}})
+    with pytest.raises(ValueError, match="range bucket"):
+        parse_aggregations({"x": {"range": {
+            "field": "a", "ranges": [{"from": 0, "to": 1, "missing": 9}]}}})
+    # keys the REFERENCE emits are all accepted, incl. the dropped-by-design
+    # shard_size (terms/multi_terms) and keyed (histogram family)
+    parse_aggregations({"x": {"terms": {
+        "field": "a", "size": 5, "shard_size": 25}}})
+    parse_aggregations({"x": {"histogram": {
+        "field": "a", "interval": 5, "keyed": True}}})
+    with pytest.raises(ValueError, match="body must be an object"):
+        parse_aggregations({"x": {"terms": "a"}})
+
+
 def test_aggregate_accepts_json_spec(spark, tmp_path_factory):
     """aggregate() runs a JSON spec identically to the dataclass request."""
     from tantivy4java_spark import queries as Q
