@@ -525,6 +525,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "embedding", "label")),
         "embedding", "vec_id", threshold=0.9999, bucketer=8)
 
+    # two copy tiers -> transitive families: doc i<3 yields the triangle
+    # {i, i+100000, i+200000}; i in 3..4 yields the pair {i, i+100000};
+    # dedup_components must label every member with the minimum id.
+    def _docs_two_copy_tiers(sp, sf):
+        d = _docs(sp, sf).select(F.col("doc_id").alias("id"), "text")
+        c1 = (_docs(sp, sf).filter(F.col("doc_id") < 5)
+              .select((F.col("doc_id") + F.lit(100000)).alias("id"), "text"))
+        c2 = (_docs(sp, sf).filter(F.col("doc_id") < 3)
+              .select((F.col("doc_id") + F.lit(200000)).alias("id"), "text"))
+        return d.unionByName(c1).unionByName(c2)
+
+    def _tier_pairs(sp, sf):
+        return D.minhash_dedup_pairs(_docs_two_copy_tiers(sp, sf), "text",
+                                     "id", num_hashes=16, bands=8,
+                                     threshold=0.999)
+
+    q["d06_dedup_components"] = lambda sp, sf: D.dedup_components(
+        _tier_pairs(sp, sf))
+    q["d07_dedup_keep"] = lambda sp, sf: D.dedup_keep_representatives(
+        _docs_two_copy_tiers(sp, sf), _tier_pairs(sp, sf), "id").select("id")
+
     # ---- similarity search --------------------------------------------------
     def _qvec(sp, sf):
         return [float(x) for x in
@@ -898,6 +919,35 @@ pairs AS (SELECT a.id id_a, b.id id_b,
                  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) j
           FROM sh a JOIN sh b ON a.id < b.id)
 SELECT id_a, id_b, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.2"""
+
+    # d06/d07: the pair graph (exact-jaccard replay of the minhash pairs, as
+    # in d02) feeds a recursive CTE that propagates the minimum reachable id
+    # — the SQL definition of connected components.
+    _union2 = (
+        "SELECT doc_id AS id, text FROM documents UNION ALL "
+        "SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id < 5 "
+        "UNION ALL "
+        "SELECT doc_id + 200000 AS id, text FROM documents WHERE doc_id < 3")
+    _cc_ctes = f"""
+WITH RECURSIVE u AS ({_union2}),
+toks AS (SELECT id, {_wtoks} t FROM u),
+sh AS (SELECT id, {_sh} s FROM toks WHERE len(t) >= 3),
+pairs AS (SELECT a.id id_a, b.id id_b FROM sh a JOIN sh b ON a.id < b.id
+          WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+                (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= 0.999),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+reach(id, lbl) AS (SELECT src, src FROM edges
+                   UNION
+                   SELECT e.dst, r.lbl
+                   FROM reach r JOIN edges e ON e.src = r.id),
+comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)"""
+    o["d06_dedup_components"] = _cc_ctes + """
+SELECT id, component FROM comp"""
+    o["d07_dedup_keep"] = _cc_ctes + """
+SELECT u.id FROM u
+WHERE u.id NOT IN (SELECT id FROM comp WHERE id <> component)"""
 
     # d04: SimHash is md5-derived -> DuckDB replays the exact bit votes.
     # bit j of token = bit (j%16) of the 16-bit chunk at hex chars

@@ -265,3 +265,35 @@ def test_ngram_jaccard_shingle_df_cap(spark):
     # the 45 identical-common-doc pairs are dropped by the cap (df=10 > 5)
     assert all(a >= 100 for a, b in capped_pairs)
     assert (100, 101) in exact_pairs and len(exact_pairs) == 45 + 1
+
+
+def test_dedup_components_multihop_chain(spark):
+    """A chain a-b-c-d where the ends never pair directly must still fold
+    into ONE component labelled by the minimum id (transitive dedup)."""
+    pairs = spark.createDataFrame(
+        [(2, 7), (7, 4), (4, 9),          # chain {2,4,7,9} -> 2
+         (20, 21),                        # pair -> 20
+         (30, 31), (31, 30), (30, 30)],   # reverse + self edges tolerated
+        ["id_a", "id_b"])
+    got = {(r["id"], r["component"])
+           for r in D.dedup_components(pairs).collect()}
+    assert got == {(2, 2), (7, 2), (4, 2), (9, 2),
+                   (20, 20), (21, 20), (30, 30), (31, 30)}
+
+
+def test_dedup_components_empty_and_convergence_guard(spark):
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert D.dedup_components(empty).count() == 0
+    chain = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["id_a", "id_b"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.dedup_components(chain, max_iter=1)
+
+
+def test_dedup_keep_representatives(spark):
+    df = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(10)], ["id", "text"])
+    pairs = spark.createDataFrame([(1, 5), (5, 8), (3, 4)], ["id_a", "id_b"])
+    kept = sorted(r["id"] for r in
+                  D.dedup_keep_representatives(df, pairs, "id").collect())
+    # components {1,5,8}->1 and {3,4}->3; unpaired rows untouched
+    assert kept == [0, 1, 2, 3, 6, 7, 9]
