@@ -575,6 +575,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         .select("doc_id", "n_tokens", "n_bpe"))
     q["t02_quality"] = lambda sp, sf: (
         TX.quality_score(_docs(sp, sf), "text").select("doc_id", "quality"))
+    _SIG_COLS = ["dup_line_frac", "dup_2gram_frac", "mean_word_len",
+                 "symbol_word_ratio", "bullet_line_frac",
+                 "ellipsis_line_frac"]
+    q["t07_repetition_signals"] = lambda sp, sf: (
+        TX.repetition_signals(_docs(sp, sf), "text")
+        .select("doc_id", *_SIG_COLS))
+    q["t08_gopher_filter"] = lambda sp, sf: (
+        TX.gopher_quality_filter(_docs(sp, sf), "text")
+        .select("doc_id", F.col("keep").cast("boolean").alias("keep")))
 
     q["q27_ip_cidr"] = lambda sp, sf: (
         _enriched_searcher(sp, sf)
@@ -1100,6 +1109,20 @@ SELECT qid, vec_id, cosine, rn AS rank FROM rk WHERE rn <= 3"""
         f"SELECT doc_id, {TX.sql_quality('text')} AS quality FROM documents")
     o["t03_fingerprint"] = (
         f"SELECT doc_id, {TX.sql_fingerprint('text')} AS fp FROM documents")
+    o["t07_repetition_signals"] = (
+        f"SELECT doc_id, {TX.sql_repetition_signals('text')} FROM documents")
+    _t = TX.GOPHER_THRESHOLDS
+    o["t08_gopher_filter"] = f"""
+WITH s AS (SELECT doc_id, {TX.sql_repetition_signals('text')} FROM documents)
+SELECT doc_id,
+       (dup_line_frac <= {_t['dup_line_frac_max']}
+        AND dup_2gram_frac <= {_t['dup_2gram_frac_max']}
+        AND mean_word_len >= {_t['mean_word_len_min']}
+        AND mean_word_len <= {_t['mean_word_len_max']}
+        AND symbol_word_ratio <= {_t['symbol_word_ratio_max']}
+        AND bullet_line_frac <= {_t['bullet_line_frac_max']}
+        AND ellipsis_line_frac <= {_t['ellipsis_line_frac_max']}) AS keep
+FROM s"""
 
     hits = {lang: (f"len(list_intersect({_wtoks.replace('text', 'lower(text)')}, "
                    f"[{','.join(repr(m) for m in TX.LANG_MARKERS[lang])}]))")

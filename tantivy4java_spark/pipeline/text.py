@@ -104,6 +104,98 @@ def fingerprint(df: DataFrame, col: str, out: str = "fp") -> DataFrame:
     return df.withColumn(out, fp)
 
 
+def ngrams_col(col: Column, k: int) -> Column:
+    """NON-distinct k-word grams in order (repetition measurement needs the
+    multiset, unlike dedup.shingles_col which dedups)."""
+    toks = tokens_col(col)
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - F.lit(k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def repetition_signals(df: DataFrame, col: str) -> DataFrame:
+    """Gopher/C4-inspired repetition + shape signals, all closed-form
+    Catalyst (and replayable in ANSI SQL for the oracle):
+
+      dup_line_frac     1 - distinct/total non-empty lines
+      dup_2gram_frac    1 - distinct/total word 2-grams (multiset)
+      mean_word_len     mean characters per whitespace token
+      symbol_word_ratio (# chars + '...' runs) per token
+      bullet_line_frac  lines starting with -, * or •
+      ellipsis_line_frac lines ending with ...
+
+    These are the filters a training-data pipeline runs BEFORE tokenizing
+    100 TB: every signal is one narrow projection — no shuffle, no UDF.
+    (Rule family: Gopher's repetition-and-shape heuristics; we document
+    thresholds in gopher_quality_filter below rather than claiming the
+    paper's exact char-fraction definitions.)"""
+    c = F.col(col)
+    toks = tokens_col(c)
+    n_tok = F.size(toks).cast("double")
+    lines = F.filter(F.split(c, r"\n"),
+                     lambda l: F.trim(l) != F.lit(""))
+    n_lines = F.size(lines).cast("double")
+    g2 = ngrams_col(c, 2)
+    n_g2 = F.size(g2).cast("double")
+
+    def frac(expr):
+        return F.round(expr, 6)
+
+    dup_line = F.when(n_lines > 0, F.lit(1.0) -
+                      F.size(F.array_distinct(lines)) / n_lines) \
+        .otherwise(F.lit(0.0))
+    dup_g2 = F.when(n_g2 > 0, F.lit(1.0) -
+                    F.size(F.array_distinct(g2)) / n_g2) \
+        .otherwise(F.lit(0.0))
+    total_word_chars = F.aggregate(
+        toks, F.lit(0).cast("long"),
+        lambda acc, t: acc + F.length(t).cast("long")).cast("double")
+    mean_wl = F.when(n_tok > 0, total_word_chars / n_tok).otherwise(F.lit(0.0))
+    hashes = (F.length(c) - F.length(F.replace(c, F.lit("#")))).cast("double")
+    ellipses = ((F.length(c) - F.length(F.replace(c, F.lit("..."))))
+                / F.lit(3.0))
+    sym_ratio = (hashes + ellipses) / F.greatest(n_tok, F.lit(1.0))
+    bullet = (F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+              .cast("double") / F.greatest(n_lines, F.lit(1.0)))
+    ell_line = (F.size(F.filter(lines, lambda l: l.rlike(r"\.\.\.\s*$")))
+                .cast("double") / F.greatest(n_lines, F.lit(1.0)))
+    return (df.withColumn("dup_line_frac", frac(dup_line))
+            .withColumn("dup_2gram_frac", frac(dup_g2))
+            .withColumn("mean_word_len", frac(mean_wl))
+            .withColumn("symbol_word_ratio", frac(sym_ratio))
+            .withColumn("bullet_line_frac", frac(bullet))
+            .withColumn("ellipsis_line_frac", frac(ell_line)))
+
+
+# Gopher-inspired keep thresholds over repetition_signals (documented,
+# deterministic; tune per corpus)
+GOPHER_THRESHOLDS = {
+    "dup_line_frac_max": 0.30,
+    "dup_2gram_frac_max": 0.60,
+    "mean_word_len_min": 2.0,
+    "mean_word_len_max": 12.0,
+    "symbol_word_ratio_max": 0.10,
+    "bullet_line_frac_max": 0.90,
+    "ellipsis_line_frac_max": 0.30,
+}
+
+
+def gopher_quality_filter(df: DataFrame, col: str,
+                          out: str = "keep") -> DataFrame:
+    """Boolean keep verdict from repetition_signals at GOPHER_THRESHOLDS."""
+    t = GOPHER_THRESHOLDS
+    s = repetition_signals(df, col)
+    keep = ((F.col("dup_line_frac") <= t["dup_line_frac_max"])
+            & (F.col("dup_2gram_frac") <= t["dup_2gram_frac_max"])
+            & (F.col("mean_word_len") >= t["mean_word_len_min"])
+            & (F.col("mean_word_len") <= t["mean_word_len_max"])
+            & (F.col("symbol_word_ratio") <= t["symbol_word_ratio_max"])
+            & (F.col("bullet_line_frac") <= t["bullet_line_frac_max"])
+            & (F.col("ellipsis_line_frac") <= t["ellipsis_line_frac_max"]))
+    return s.withColumn(out, keep)
+
+
 def sql_token_count(col: str) -> str:
     return f"cast(len(list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')) as bigint)"
 
@@ -127,6 +219,40 @@ def sql_quality(col: str) -> str:
       + 0.2 * (cast(len(list_distinct({toks})) as double)
                / greatest(cast(len({toks}) as double), 1.0))
     , 6)"""
+
+
+def sql_repetition_signals(col: str) -> str:
+    """Comma-joined SQL select-list replaying repetition_signals exactly
+    (same rounding, same guards) — DuckDB dialect."""
+    toks = f"list_filter(string_split_regex({col}, '\\s+'), x -> x <> '')"
+    lines = f"list_filter(string_split_regex({col}, '\\n'), l -> trim(l) <> '')"
+    g2 = (f"list_transform(range(1, greatest(len({toks}), 1)), "
+          f"i -> concat_ws(' ', {toks}[i], {toks}[i+1]))")
+    n_tok = f"cast(len({toks}) as double)"
+    n_lines = f"cast(len({lines}) as double)"
+    n_g2 = f"cast(len({g2}) as double)"
+    dup_line = (f"case when {n_lines} > 0 then 1.0 - "
+                f"len(list_distinct({lines})) / {n_lines} else 0.0 end")
+    dup_g2 = (f"case when {n_g2} > 0 then 1.0 - "
+              f"len(list_distinct({g2})) / {n_g2} else 0.0 end")
+    mean_wl = (f"case when {n_tok} > 0 then "
+               f"cast(list_sum(list_transform({toks}, t -> length(t))) "
+               f"as double) / {n_tok} else 0.0 end")
+    sym = (f"((length({col}) - length(replace({col}, '#', ''))) + "
+           f"(length({col}) - length(replace({col}, '...', ''))) / 3.0) "
+           f"/ greatest({n_tok}, 1.0)")
+    bullet = (f"cast(len(list_filter({lines}, "
+              f"l -> regexp_matches(l, '^\\s*[-*•]'))) as double) "
+              f"/ greatest({n_lines}, 1.0)")
+    ell = (f"cast(len(list_filter({lines}, "
+           f"l -> regexp_matches(l, '\\.\\.\\.\\s*$'))) as double) "
+           f"/ greatest({n_lines}, 1.0)")
+    return (f"round({dup_line}, 6) AS dup_line_frac, "
+            f"round({dup_g2}, 6) AS dup_2gram_frac, "
+            f"round({mean_wl}, 6) AS mean_word_len, "
+            f"round({sym}, 6) AS symbol_word_ratio, "
+            f"round({bullet}, 6) AS bullet_line_frac, "
+            f"round({ell}, 6) AS ellipsis_line_frac")
 
 
 def sql_fingerprint(col: str) -> str:

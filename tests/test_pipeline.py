@@ -297,3 +297,47 @@ def test_dedup_keep_representatives(spark):
                   D.dedup_keep_representatives(df, pairs, "id").collect())
     # components {1,5,8}->1 and {3,4}->3; unpaired rows untouched
     assert kept == [0, 1, 2, 3, 6, 7, 9]
+
+
+def test_repetition_signals_adversarial_vs_duckdb(spark):
+    """Each Gopher-style signal trips on a doc built to violate it, and the
+    closed-form SQL replay agrees exactly (rounded 6dp)."""
+    rows = [
+        (0, "a normal document with several distinct words and lines\n"
+            "another fine line of ordinary prose goes right here"),
+        (1, "same line repeated\nsame line repeated\nsame line repeated\n"
+            "same line repeated"),                     # dup_line_frac 0.75
+        (2, "ba ba ba ba ba ba ba ba ba ba"),          # dup_2gram_frac high
+        (3, "### ## # ### hashtag # soup ## with # many # symbols"),
+        (4, "- one\n- two\n- three\n- four"),          # bullet lines
+        (5, "trailing off...\nand again...\nmore...\nplain line"),
+        (6, "supercalifragilisticexpialidocious " * 5),  # mean_word_len > 12
+        (7, ""),                                       # empty doc guards
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = (TX.gopher_quality_filter(df, "text")
+           .select("doc_id", "dup_line_frac", "dup_2gram_frac",
+                   "mean_word_len", "symbol_word_ratio",
+                   "bullet_line_frac", "ellipsis_line_frac", "keep")
+           .toPandas().sort_values("doc_id").reset_index(drop=True))
+    keep = dict(zip(got["doc_id"], got["keep"]))
+    assert keep[0] is True or keep[0] == True  # noqa: E712
+    assert not keep[1]   # duplicate lines
+    assert not keep[2]   # repeated 2-grams
+    assert not keep[3]   # symbol soup
+    assert not keep[4]   # bullet list
+    assert not keep[5]   # ellipsis spam
+    assert not keep[6]   # absurd mean word length
+    row7 = got[got["doc_id"] == 7].iloc[0]
+    assert row7["dup_line_frac"] == 0.0 and row7["mean_word_len"] == 0.0
+
+    import duckdb
+    con = duckdb.connect()
+    con.register("docs", df.toPandas())
+    sql = (f"SELECT doc_id, {TX.sql_repetition_signals('text')} "
+           f"FROM docs ORDER BY doc_id")
+    oracle = con.sql(sql).df()
+    for c in ["dup_line_frac", "dup_2gram_frac", "mean_word_len",
+              "symbol_word_ratio", "bullet_line_frac",
+              "ellipsis_line_frac"]:
+        assert (got[c].round(9) == oracle[c].round(9)).all(), c
