@@ -341,3 +341,16 @@ def test_repetition_signals_adversarial_vs_duckdb(spark):
               "symbol_word_ratio", "bullet_line_frac",
               "ellipsis_line_frac"]:
         assert (got[c].round(9) == oracle[c].round(9)).all(), c
+
+
+def test_dedup_components_plan_stays_flat(spark):
+    """localCheckpoint per round must truncate lineage: the returned labels
+    plan is a checkpoint scan, not an N-iteration join tower (at 100 TB an
+    ever-growing plan would OOM the driver's optimizer long before data)."""
+    # long chain -> several propagation rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id_a", "id_b"])
+    labels = D.dedup_components(pairs)
+    plan = labels._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan[:500]
+    assert labels.filter("component != 0").count() == 0
