@@ -170,6 +170,62 @@ def _build_at(cpus: int, n_docs: int) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+def _probe_worker(kind: str, q, seconds: float) -> None:
+    import numpy as np
+    if kind == "cpu":
+        import hashlib
+        buf = b"x" * 4096
+        t0, n = time.time(), 0
+        while time.time() - t0 < seconds:
+            for _ in range(200):
+                hashlib.md5(buf).digest()
+            n += 200
+        q.put(n / (time.time() - t0))
+    else:
+        a = np.random.rand(8 * 1024 * 1024)  # 64 MB, touched pages
+        b = a.copy()
+        t0, n = time.time(), 0
+        while time.time() - t0 < seconds:
+            np.copyto(b, a)
+            n += 1
+        q.put(n * a.nbytes * 2 / (time.time() - t0) / 1e9)
+
+
+def _host_probe(n_small: int, n_large: int, seconds: float = 5.0) -> dict:
+    """Host-capability scaling control, recorded alongside the legs: a
+    cache-resident compute kernel (md5) and a DRAM-streaming kernel
+    (64 MB copies), each run per-process core-pinned at n_small and
+    n_large cores.  If the ENGINE scales far below what the HOST scales
+    for both kernels, the legs measured the hypervisor (vCPU preemption /
+    bandwidth contention), not the engine — exactly the failure mode the
+    round-5 confirmation run hit (engine pairs 0.37-0.60 on a day the
+    recorded-protocol number was 0.818 on identical code)."""
+    import multiprocessing as mp
+
+    def run(kind, ncpu):
+        q = mp.Queue()
+        ps = []
+        for i in range(ncpu):
+            p = mp.Process(target=_probe_worker, args=(kind, q, seconds))
+            p.start()
+            try:
+                os.sched_setaffinity(p.pid, {i})
+            except OSError:
+                pass
+            ps.append(p)
+        vals = [q.get() for _ in ps]
+        for p in ps:
+            p.join()
+        return sum(vals)
+
+    factor = n_large / n_small
+    out = {}
+    for kind in ("cpu", "mem"):
+        small, large = run(kind, n_small), run(kind, n_large)
+        out[f"{kind}_eff"] = round((large / small) / factor, 3) if small else None
+    return out
+
+
 def _run_leg(cpus: int, n_docs: int) -> dict:
     """Launch one leg as a pinned subprocess and parse its result line."""
     cmd = [sys.executable, os.path.abspath(__file__),
@@ -202,6 +258,10 @@ def main():
     n_pairs = int(sys.argv[4]) if len(sys.argv) > 4 else 3
     factor = n_large / n_small
     cooldown = int(os.environ.get("SCALE_COOLDOWN_SEC", "45"))
+    probe = {}
+    if os.environ.get("SCALE_NO_PROBE") != "1":
+        probe = _host_probe(n_small, n_large)
+        print(json.dumps({"host_probe": probe}), flush=True)
     if os.environ.get("SCALE_WARMUP", "1") != "0":
         # one DISCARDED wide leg before pair 1: every recorded leg then
         # starts from the same OS/page-cache/thermal state.  Without it the
@@ -241,6 +301,7 @@ def main():
         "scaling_efficiency": round(median, 3),
         "min_pair_efficiency": round(effs[0], 3),
         "max_pair_efficiency": round(effs[-1], 3),
+        "host_probe": probe,
     }), flush=True)
 
 
