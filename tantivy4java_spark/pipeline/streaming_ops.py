@@ -62,6 +62,129 @@ def streaming_exact_dedup(stream_df: DataFrame, col: str,
     return deduped.drop("_sha")
 
 
+def _simhash_batch(texts: pd.Series) -> pd.Series:
+    """Per-row SimHash identical to dedup.simhash's Catalyst form (same
+    md5-derived bit votes, same sign assembly) so streaming output is
+    directly comparable to the batch operator.  Token hashes are memoized
+    per Arrow batch — cost is O(distinct tokens), not O(token instances)."""
+    import hashlib
+    import re
+
+    import numpy as np
+
+    cache: dict = {}
+
+    def token_votes(tok: str) -> "np.ndarray":
+        v = cache.get(tok)
+        if v is None:
+            hx = hashlib.md5(tok.encode("utf-8")).hexdigest()[:16]
+            chunks = [int(hx[4 * k:4 * k + 4], 16) for k in range(4)]
+            bits = np.array([(chunks[j // 16] >> (j % 16)) & 1
+                             for j in range(64)], dtype=np.int64)
+            v = bits * 2 - 1
+            cache[tok] = v
+        return v
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, text in enumerate(texts):
+        toks = [t for t in re.split(r"\s+", text or "") if t]
+        if not toks:
+            continue
+        votes = np.zeros(64, dtype=np.int64)
+        for t in toks:
+            votes += token_votes(t)
+        h = 0
+        for j in range(63):
+            if votes[j] > 0:
+                h |= 1 << j
+        if votes[63] > 0:
+            h -= 1 << 63
+        out[i] = h
+    return pd.Series(out)
+
+
+def streaming_simhash_dedup(stream_df: DataFrame, col: str, id_col: str,
+                            max_hamming: int = 3,
+                            max_bucket_state: int = 10_000) -> DataFrame:
+    """Streaming near-duplicate candidate pairs across micro-batches:
+    (id_a, id_b, hamming, blk) with id_a < id_b and hamming <= max_hamming.
+
+    The streaming counterpart of dedup.simhash_dup_pairs, same pigeonhole
+    decomposition: a pair within Hamming distance d must agree exactly on
+    at least one of d+1 bit blocks, so the shuffle/state key is
+    (block index, block value) and a new document is compared ONLY against
+    its own buckets' residents — never a cross join, state sharded by the
+    same uniform key the batch join uses.
+
+    A pair that agrees on several blocks is emitted once per agreeing
+    block (the blk column says which); distinct-ify on (id_a, id_b)
+    downstream when consuming.  Per-bucket state is capped at
+    ``max_bucket_state`` resident signatures (the streaming analog of the
+    batch operator's ``max_block_df`` degenerate-bucket cap): residents
+    past the cap stop being added, so a pathological bucket (e.g. empty
+    documents, all simhash 0) degrades to bounded recall instead of
+    unbounded state growth — fold exact duplicates with
+    streaming_exact_dedup first, which is O(rows)."""
+    import numpy as np
+
+    nblocks = max_hamming + 1
+    width = 64 // nblocks
+    sig = F.pandas_udf(_simhash_batch, T.LongType())
+    base = stream_df.select(F.col(id_col).alias("_id").cast("long"),
+                            F.col(col).cast("string").alias("_txt"))
+    base = base.withColumn("_h", sig(F.col("_txt")))
+    blocks = base.select(
+        "_id", "_h",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("blk"),
+                     F.shiftrightunsigned(F.col("_h"), i * width)
+                     .bitwiseAND(F.lit((1 << width) - 1)).alias("bval"))
+            for i in range(nblocks)])).alias("bb"))
+    blocks = blocks.select("_id", "_h", F.col("bb.blk").alias("blk"),
+                           F.col("bb.bval").alias("bval"))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("hamming", T.LongType()),
+        T.StructField("blk", T.IntegerType()),
+    ])
+    state_schema = "ids ARRAY<LONG>, hs ARRAY<LONG>"
+
+    def match(key: Tuple, pdfs: Iterator[pd.DataFrame],
+              state: GroupState) -> Iterator[pd.DataFrame]:
+        blk = int(key[0])
+        if state.exists:
+            ids, hs = state.get
+            ids, hs = list(ids), list(hs)
+        else:
+            ids, hs = [], []
+        out_a, out_b, out_d = [], [], []
+        for pdf in pdfs:
+            for rid, rh in zip(pdf["_id"].astype("int64"),
+                               pdf["_h"].astype("int64")):
+                rid, rh = int(rid), int(rh)
+                for oid, oh in zip(ids, hs):
+                    d = ((rh ^ oh) & 0xFFFFFFFFFFFFFFFF).bit_count()
+                    if d <= max_hamming and rid != oid:
+                        out_a.append(min(rid, oid))
+                        out_b.append(max(rid, oid))
+                        out_d.append(d)
+                if len(ids) < max_bucket_state:
+                    ids.append(rid)
+                    hs.append(rh)
+        state.update((ids, hs))
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b,
+                                "hamming": out_d,
+                                "blk": np.full(len(out_a), blk,
+                                               dtype=np.int32)})
+
+    return blocks.groupBy("blk", "bval").applyInPandasWithState(
+        match, out_schema, state_schema, "append",
+        GroupStateTimeout.NoTimeout)
+
+
 def windowed_event_agg(stream_df: DataFrame, ts_col: str,
                        window: str = "1 hour", slide: str = None,
                        watermark: str = "2 hours", keys=(),

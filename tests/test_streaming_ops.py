@@ -123,3 +123,79 @@ def test_windowed_event_agg_watermark(spark, tmp_path):
             for r in spark.read.parquet(outdir).collect()}
     assert (0, 3) not in got2          # late event did NOT reopen hour 0
     assert (6, 1) in got2              # hour-6 window closed and emitted
+
+
+def test_streaming_simhash_matches_batch(spark, tmp_path):
+    """Cross-micro-batch near-dup pairs == the batch operator's pairs on
+    the union (same md5 bit votes, same pigeonhole blocks)."""
+    from tantivy4java_spark.pipeline.dedup import simhash_dup_pairs
+    from tantivy4java_spark.pipeline.streaming_ops import \
+        streaming_simhash_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "spark builds posting lists in parallel across executors "
+            "and merges them into a global inverted index")
+    rows0 = [(1, base), (2, base)]                       # exact dup in-batch
+    rows1 = [(3, base),                                  # dup ACROSS batches
+             (5, base.replace("lazy", "sleepy")),        # near or not — the
+             (4, "completely different content about embedding vectors "   #
+                 "ann search and lsh bucketed candidate generation only")]  #
+    # (whatever the batch operator says about id 5, the stream must agree)
+    src = str(tmp_path / "in3")
+    os.makedirs(src)
+    spark.createDataFrame(rows0, ["id", "text"]).coalesce(1) \
+        .write.parquet(os.path.join(src, "f0"))
+    spark.createDataFrame(rows1, ["id", "text"]).coalesce(1) \
+        .write.parquet(os.path.join(src, "f1"))
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+    q = (streaming_simhash_dedup(stream, "text", "id", max_hamming=3)
+         .writeStream.format("memory").queryName("sh_sink")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck3"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    got = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+           spark.sql("SELECT DISTINCT id_a, id_b, hamming "
+                     "FROM sh_sink").collect()}
+    union = spark.createDataFrame(rows0 + rows1, ["id", "text"])
+    want = {(r["id_a"], r["id_b"], r["hamming"]) for r in
+            simhash_dup_pairs(union, "text", "id", max_hamming=3).collect()}
+    assert got == want
+    assert (1, 2, 0) in got          # exact pair, in-batch
+    assert (1, 3, 0) in got and (2, 3, 0) in got   # pairs ACROSS batches
+    assert not any(4 in (a, b) for a, b, _ in got)  # unrelated doc clean
+
+
+def test_streaming_simhash_bucket_cap(spark, tmp_path):
+    """Past max_bucket_state residents a bucket stops growing (bounded
+    state) — identical docs beyond the cap produce no new pairs."""
+    from tantivy4java_spark.pipeline.streaming_ops import \
+        streaming_simhash_dedup
+    rows = [(i, "same text everywhere") for i in range(6)]
+    src = str(tmp_path / "in4")
+    os.makedirs(src)
+    spark.createDataFrame(rows, ["id", "text"]).coalesce(1) \
+        .write.parquet(os.path.join(src, "f0"))
+    schema = spark.read.parquet(os.path.join(src, "f0")).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(os.path.join(src, "*")))
+    q = (streaming_simhash_dedup(stream, "text", "id", max_hamming=3,
+                                 max_bucket_state=2)
+         .writeStream.format("memory").queryName("sh_cap_sink")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck4"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(300)
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             spark.sql("SELECT DISTINCT id_a, id_b FROM sh_cap_sink")
+             .collect()}
+    # residents capped at 2 per bucket: ids 0 and 1 enter state; every
+    # later doc pairs against those two only -> pairs are exactly
+    # {(0,1)} + {(0,k),(1,k) for k>=2}; never (2,3) etc.
+    assert (0, 1) in pairs
+    assert (2, 3) not in pairs and (3, 4) not in pairs
+    assert all(a in (0, 1) for a, b in pairs)
