@@ -96,9 +96,32 @@ _VOCAB_CDFS = {lang: _zipf_cdf(len(v)) for lang, v in _VOCABS.items()}
 _LANG_CDF = np.cumsum(_LANG_WEIGHTS / _LANG_WEIGHTS.sum())
 
 
+# combined dictionary across languages (content tokens are drawn per lang
+# with a per-lang offset into this single arrow dictionary)
+_VOCAB_OFFSETS = {}
+_ALL_VOCAB: List[str] = []
+for _lang in LANGS:
+    _VOCAB_OFFSETS[_lang] = len(_ALL_VOCAB)
+    _ALL_VOCAB.extend(_VOCABS[_lang].tolist())
+
+
 def generate_pandas(start: int, count: int, seed: int = 42, n_repos: int = 50,
                     min_tokens: int = 30, max_tokens: int = 400) -> pd.DataFrame:
-    """Generate rows for doc indexes [start, start+count)."""
+    """Generate rows for doc indexes [start, start+count).
+
+    Fully vectorized (byte-identical to the original per-doc formulation,
+    pinned by tests): token sampling is one flat splitmix64/searchsorted
+    pass over all token slots; content strings are assembled in Arrow C++
+    (dictionary cast + binary_join) instead of a per-doc Python " ".join;
+    commit hex strings come from a big-endian structured-array hex dump.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if count <= 0:
+        return pd.DataFrame({c: pd.Series([], dtype=object)
+                             for c in ("repo", "path", "commit",
+                                       "lang", "content")})
     idx = np.arange(start, start + count, dtype=np.uint64)
     repo_cdf = _zipf_cdf(n_repos, s=1.3)  # mega-repo skew
     repo_ix = np.searchsorted(repo_cdf, _u01(seed, idx, 1))
@@ -108,26 +131,49 @@ def generate_pandas(start: int, count: int, seed: int = 42, n_repos: int = 50,
 
     repos = np.array([f"org{i % 7}/repo{i}" for i in range(n_repos)], dtype=object)
     langs = np.array(LANGS, dtype=object)
-
     out_repo = repos[repo_ix]
     out_lang = langs[lang_ix]
-    contents: List[str] = []
-    paths: List[str] = []
-    commits: List[str] = []
-    for j in range(count):
-        di = int(idx[j])
-        lang = out_lang[j]
-        vocab, cdf = _VOCABS[lang], _VOCAB_CDFS[lang]
-        n = int(ntok[j])
-        slots = np.arange(n, dtype=np.uint64)
-        u = (_splitmix64(slots + np.uint64(di) * np.uint64(1_000_000_007)
-                         + np.uint64(seed)).astype(np.float64) / float(2**64))
-        toks = vocab[np.searchsorted(cdf, u)]
-        contents.append(" ".join(toks))
-        h1 = int(_splitmix64(np.array([di * 3 + 1], dtype=np.uint64))[0])
-        h2 = int(_splitmix64(np.array([di * 3 + 2], dtype=np.uint64))[0])
-        paths.append(f"src/{'main' if h1 % 3 else 'test'}/d{h1 % 97}/f{di}.{_EXT[lang]}")
-        commits.append(f"{h1:016x}{h2:016x}{h1 % (1 << 32):08x}")
+
+    # ---- contents: one flat pass over all token slots -------------------
+    total = int(ntok.sum())
+    offsets = np.zeros(count + 1, dtype=np.int64)
+    np.cumsum(ntok, out=offsets[1:])
+    doc_rep = np.repeat(np.arange(count), ntok)
+    # per-doc slots 0..n-1, flattened; same uint64 wraparound arithmetic
+    slot_flat = (np.arange(total, dtype=np.int64)
+                 - offsets[doc_rep]).astype(np.uint64)
+    u_flat = (_splitmix64(slot_flat
+                          + idx[doc_rep] * np.uint64(1_000_000_007)
+                          + np.uint64(seed)).astype(np.float64) / float(2**64))
+    tok_ix = np.empty(total, dtype=np.int32)
+    lang_rep = lang_ix[doc_rep]
+    for li, lang in enumerate(LANGS):
+        m = lang_rep == li
+        if m.any():
+            tok_ix[m] = (_VOCAB_OFFSETS[lang]
+                         + np.searchsorted(_VOCAB_CDFS[lang], u_flat[m]))
+    tok_str = pc.cast(pa.DictionaryArray.from_arrays(
+        pa.array(tok_ix, type=pa.int32()), pa.array(_ALL_VOCAB)), pa.string())
+    lists = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), tok_str)
+    contents = pc.binary_join(lists, " ").to_pandas()
+
+    # ---- paths / commits ------------------------------------------------
+    h1 = _splitmix64(idx * np.uint64(3) + np.uint64(1))
+    h2 = _splitmix64(idx * np.uint64(3) + np.uint64(2))
+    mt = pa.array(np.where(h1 % np.uint64(3) != 0, "main", "test"))
+    d97 = pc.cast(pa.array(h1 % np.uint64(97)), pa.string())
+    di_s = pc.cast(pa.array(idx), pa.string())
+    ext = pa.array([_EXT[lg] for lg in out_lang])
+    paths = pc.binary_join_element_wise(
+        "src/", mt, "/d", d97, "/f", di_s, ".", ext, "").to_pandas()
+    rec = np.empty(count, dtype=[("a", ">u8"), ("b", ">u8"), ("c", ">u4")])
+    rec["a"] = h1
+    rec["b"] = h2
+    rec["c"] = (h1 & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hexbuf = rec.tobytes().hex().encode("ascii")
+    commits = pc.cast(pa.FixedSizeBinaryArray.from_buffers(
+        pa.binary(40), count, [None, pa.py_buffer(hexbuf)]),
+        pa.string()).to_pandas()
     return pd.DataFrame({
         "repo": out_repo, "path": paths, "commit": commits,
         "lang": out_lang, "content": contents,
