@@ -103,7 +103,13 @@ def assign_doc_ids(df: DataFrame, order_cols: Optional[List[str]] = None,
     if order_cols:
         w = Window.orderBy(*[F.col(c) for c in order_cols])
         return df.withColumn("doc_id", F.row_number().over(w).cast("long") - 1)
+    return _zip_index_ids(df)[0]
 
+
+def _zip_index_ids(df: DataFrame):
+    """zipWithIndex doc_ids; returns (df_with_ids, total_rows).  The total
+    falls out of the per-partition counts — callers that need it (segment
+    width derivation) skip a second full pass over the input."""
     part_counts = (
         df.withColumn("_pid", F.spark_partition_id())
         .groupBy("_pid").count().collect()
@@ -127,7 +133,7 @@ def assign_doc_ids(df: DataFrame, order_cols: Optional[List[str]] = None,
             seen += len(pdf)
             yield pdf
 
-    return df.mapInPandas(add_ids, schema)
+    return df.mapInPandas(add_ids, schema), acc
 
 
 def _norm_id_udf():
@@ -135,6 +141,18 @@ def _norm_id_udf():
     def _norm(lengths: pd.Series) -> pd.Series:
         return pd.Series(fieldnorm_to_id(lengths.fillna(0).to_numpy()).astype(np.int32))
     return _norm
+
+
+def _norm_id_expr(len_col):
+    """Pure-JVM fieldnorm quantization: the 256-entry table is strictly
+    increasing, so id == count(entries <= len) - 1 (len >= 0 always holds
+    for token counts).  Bit-identical to fieldnorm_to_id / the pandas UDF
+    (pinned by tests); removes the ArrowEvalPython stage from the docs
+    frame of every build (guide SS4.1: built-ins over UDFs)."""
+    from tantivy4java_spark.fieldnorm import FIELDNORM_TABLE
+    arr = F.lit([int(v) for v in FIELDNORM_TABLE])
+    ln = F.coalesce(len_col, F.lit(0))
+    return (F.size(F.filter(arr, lambda v: v <= ln)) - F.lit(1)).cast("int")
 
 
 _PDT_SCHEMA = T.StructType([
@@ -339,8 +357,11 @@ def _tokenize_agg_fn(field: str, tokenizer: str, limit: int):
     return run
 
 
-def _group_change(pdf: pd.DataFrame) -> np.ndarray:
-    """First-row-of-(field,term,shard)-group marker over a sorted frame."""
+def _group_change(pdf: pd.DataFrame, with_seg: bool = False) -> np.ndarray:
+    """First-row-of-([seg,]field,term,shard)-group marker over a sorted
+    frame.  ``with_seg`` adds the batched-build ``_seg`` column to the key
+    (segment doc ranges are disjoint, so within one segment the key is
+    equivalent to (field,term,shard))."""
     n = len(pdf)
     f = pdf["field"].to_numpy()
     t = pdf["term"].to_numpy()
@@ -348,12 +369,19 @@ def _group_change(pdf: pd.DataFrame) -> np.ndarray:
     change = np.ones(n, dtype=bool)
     if n > 1:
         change[1:] = (f[1:] != f[:-1]) | (t[1:] != t[:-1]) | (sh[1:] != sh[:-1])
+        if with_seg:
+            sg = pdf["_seg"].to_numpy()
+            change[1:] |= sg[1:] != sg[:-1]
     return change
 
 
-def _blocks_frame(pdf: pd.DataFrame, blocks: dict) -> pd.DataFrame:
+def _blocks_frame(pdf: pd.DataFrame, blocks: dict,
+                  with_seg: bool = False) -> pd.DataFrame:
     ri = blocks["row_index"]
-    return pd.DataFrame({
+    out = {}
+    if with_seg:
+        out["_seg"] = pdf["_seg"].to_numpy()[ri].astype(np.int64)
+    out.update({
         "field": pdf["field"].to_numpy()[ri],
         "term": pdf["term"].to_numpy()[ri],
         "shard": pdf["shard"].to_numpy()[ri].astype(np.int64),
@@ -368,14 +396,18 @@ def _blocks_frame(pdf: pd.DataFrame, blocks: dict) -> pd.DataFrame:
         "min_norm_id": blocks["min_norm_id"],
         "block_max_score": blocks["block_max_score"],
     })
+    return pd.DataFrame(out)
 
 
 def _encode_blocks_fn(block_size: int, with_scores: bool,
-                      norm_decode=None, avgdl_map=None):
-    """mapInPandas: (field,term,shard,doc_id,tf,norm_id[,idf_w]) -> block rows.
+                      norm_decode=None, avgdl_map=None,
+                      with_seg: bool = False):
+    """mapInPandas: ([_seg,]field,term,shard,doc_id,tf,norm_id[,idf_w]) ->
+    block rows.
 
-    Input partitions sorted by (field,term,shard,doc_id); fully vectorized —
-    the only per-block Python is byte-buffer slicing (codec segmented path).
+    Input partitions sorted by ([_seg,]field,term,shard,doc_id); fully
+    vectorized — the only per-block Python is byte-buffer slicing (codec
+    segmented path).
     """
 
     def encode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -392,8 +424,9 @@ def _encode_blocks_fn(block_size: int, with_scores: bool,
                 lens = norm_decode[norms].astype(np.float64)
                 scores = idf_w * tfs / (tfs + K1 * (1.0 - B + B * lens / avgdl))
             blocks = codec.encode_blocks_segmented(
-                _group_change(pdf), docs, tfs, norms, block_size, scores)
-            yield _blocks_frame(pdf, blocks)
+                _group_change(pdf, with_seg), docs, tfs, norms, block_size,
+                scores)
+            yield _blocks_frame(pdf, blocks, with_seg)
 
     return encode
 
@@ -540,19 +573,14 @@ class IndexBuilder:
         return tokenize_udf(fc.tokenizer, fc.token_limit)(col)
 
     # -- segment build ----------------------------------------------------
-    def _build_segment(self, seg_df: DataFrame, seg_id: int) -> dict:
+    def _docs_frame(self, seg_df: DataFrame) -> DataFrame:
+        """docs-table projection: ids + sha256 + per-field token
+        lengths/norms (lengths via the JVM tokenizer expr — bit-identical
+        to the pandas path, asserted in tests).  Narrow, not persisted."""
         cfg = self.config
-        t0 = time.time()
-        seg_dir = self._p("segments", f"seg={seg_id:05d}")
-        norm_udf = _norm_id_udf()
-
-        # docs table row: ids + sha256 + per-field token lengths/norms
-        # (lengths via the JVM tokenizer expr — bit-identical to the pandas
-        # path, asserted in tests)
         sel = [F.col("doc_id")] + [F.col(c) for c in cfg.id_cols if c != "doc_id"]
         if cfg.content_col:
             sel.append(F.sha2(F.col(cfg.content_col).cast("string"), 256).alias("content_sha256"))
-        tok_cols = [(fc, None) for fc in cfg.text_fields]
         for fc in cfg.text_fields:
             if fc.type == "string" and self._is_array(seg_df, fc.name):
                 # multi-valued keyword: length 1 when present (keyword
@@ -574,12 +602,16 @@ class IndexBuilder:
                 sel.append(F.col(fc.name))
         docs = seg_df.select(*sel)
         for fc in cfg.text_fields:
-            docs = docs.withColumn(f"norm_{fc.name}", norm_udf(F.col(f"len_{fc.name}")))
-        docs = docs.persist()
+            docs = docs.withColumn(f"norm_{fc.name}",
+                                   _norm_id_expr(F.col(f"len_{fc.name}")))
+        return docs
 
-        # posting source rows (doc_id, field, term, tf, norm_id, pos_bin):
-        # tokenized fields aggregate per-doc inside ONE narrow mapInPandas
-        # pass (no explode shuffle); raw/string fields are a plain select.
+    def _pdt_frame(self, seg_df: DataFrame) -> DataFrame:
+        """Posting source rows (doc_id, field, term, tf, norm_id, pos_bin,
+        shard): tokenized fields aggregate per-doc inside ONE narrow
+        mapInPandas pass (no explode shuffle); raw/string fields are a plain
+        select.  Narrow, not persisted."""
+        cfg = self.config
         token_frames = []
         for fc in cfg.fields:
             if fc.type == "text":
@@ -623,41 +655,48 @@ class IndexBuilder:
         per_doc_term = token_frames[0]
         for tf_ in token_frames[1:]:
             per_doc_term = per_doc_term.unionByName(tf_)
-        per_doc_term = per_doc_term.withColumn(
+        return per_doc_term.withColumn(
             "shard", F.shiftright(F.col("doc_id"), cfg.shard_bits).cast("long"))
-        per_doc_term = per_doc_term.persist()
 
-        # The per-segment write jobs below are mutually independent once
-        # per_doc_term / docs are cached, so they run CONCURRENTLY and the
-        # segment tail is the slowest job (the postings encode), not the
-        # sum — the same fix the merge commit got (_merge_dirs).  The caches
-        # are materialized FIRST by dedicated jobs: letting the writers race
-        # to build them measured 46% slower at 8 cores (200k docs, 101.6 s
-        # vs 69.4 s serial) because concurrent first-use serializes on the
-        # block manager's per-partition load locks while the blocked tasks
-        # hold task slots — the expensive tokenize pass must run once at
-        # full cluster width before any fan-out.
+    def _key_repartition(self, df: DataFrame, *cols):
+        """Repartition by key, scale-adaptively sized: an explicit user
+        shuffle_partitions wins; otherwise the partition COUNT is left to
+        AQE (repartition without numPartitions starts at
+        spark.sql.shuffle.partitions and adaptive coalescing right-sizes
+        the output to the advisory partition bytes) — guide §2.2/§6: tiny
+        segments stop producing 32 near-empty sort/encode tasks and files,
+        large builds still fan out to the configured width."""
+        if self.shuffle_partitions:
+            return df.repartition(self.shuffle_partitions, *cols)
+        return df.repartition(*cols)
+
+    def _segment_write_jobs(self, docs: DataFrame, per_doc_term: DataFrame,
+                            seg_dir: str) -> list:
+        """Mutually independent write closures for ONE segment (inputs must
+        already be cached): postings, termstats, docs, positions."""
+        cfg = self.config
         pos_fields = [fc.name for fc in cfg.fields if fc.has_positions]
-        nparts = self.shuffle_partitions or self.spark.sparkContext.defaultParallelism
 
         def _write_positions():
             # positions table (position-indexed fields only; delta-varint
             # binary; includes json fields — per-dot-path positions for
             # phrase-over-path)
-            (per_doc_term
-             .filter(F.col("field").isin(pos_fields))
-             .select("field", "term", "doc_id", "norm_id", "pos_bin")
-             .repartition("field", "term")
+            (self._key_repartition(
+                per_doc_term
+                .filter(F.col("field").isin(pos_fields))
+                .select("field", "term", "doc_id", "norm_id", "pos_bin"),
+                "field", "term")
              .sortWithinPartitions("field", "term", "doc_id")
              .write.mode("overwrite").parquet(os.path.join(seg_dir, "positions")))
 
         def _write_postings():
             # block-encoded postings (skew-proof: keyed by (field,term,shard))
             enc = _encode_blocks_fn(cfg.block_size, with_scores=False)
-            (per_doc_term
-             .select("field", "term", "shard", "doc_id", "tf",
-                     F.col("norm_id").cast("long").alias("norm_id"))
-             .repartition(nparts, "field", "term", "shard")
+            (self._key_repartition(
+                per_doc_term
+                .select("field", "term", "shard", "doc_id", "tf",
+                        F.col("norm_id").cast("long").alias("norm_id")),
+                "field", "term", "shard")
              .sortWithinPartitions("field", "term", "shard", "doc_id")
              .mapInPandas(enc, _POSTINGS_SCHEMA)
              .write.mode("overwrite").parquet(os.path.join(seg_dir, "postings")))
@@ -672,41 +711,213 @@ class IndexBuilder:
         def _write_docs():
             docs.write.mode("overwrite").parquet(os.path.join(seg_dir, "docs"))
 
-        # one agg job for all per-segment stats
-        stat_exprs = [F.count(F.lit(1)).alias("_n"),
-                      F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")]
-        stat_exprs += [F.sum(F.col(f"len_{fc.name}")).alias(f"_tok_{fc.name}")
-                       for fc, _ in tok_cols]
-
-        # materialize the shared caches at full width, one job each: the
-        # stats agg doubles as the docs-cache builder, and a count() forces
-        # the tokenize pass into the per_doc_term cache exactly once
-        srow = docs.agg(*stat_exprs).collect()[0]
-        per_doc_term.count()
-
-        from concurrent.futures import ThreadPoolExecutor
         jobs = [_write_postings, _write_termstats, _write_docs]
         if pos_fields:
             jobs.append(_write_positions)
+        return jobs
+
+    def _stat_exprs(self) -> list:
+        return ([F.count(F.lit(1)).alias("_n"),
+                 F.min("doc_id").alias("_lo"), F.max("doc_id").alias("_hi")]
+                + [F.sum(F.col(f"len_{fc.name}")).alias(f"_tok_{fc.name}")
+                   for fc in self.config.text_fields])
+
+    def _action_from_stats(self, seg_id: int, srow, t0: float) -> dict:
+        num_docs = int(srow["_n"]) if srow is not None else 0
+        field_tokens = {fc.name: int((srow[f"_tok_{fc.name}"]
+                                      if srow is not None else 0) or 0)
+                        for fc in self.config.text_fields}
+        lo = srow["_lo"] if srow is not None else None
+        hi = srow["_hi"] if srow is not None else None
+        return {
+            "action": "add",
+            "segment": seg_id,
+            "num_docs": num_docs,
+            "doc_lo": int(lo) if lo is not None else None,
+            "doc_hi": int(hi) if hi is not None else None,
+            "field_tokens": field_tokens,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+
+    def _build_segment(self, seg_df: DataFrame, seg_id: int) -> dict:
+        """Single-segment build (streaming appends, kill-test mode, and the
+        one-segment fallback).  Multi-segment batch builds go through
+        build()'s batched path, which shares ONE tokenize pass + ONE stats
+        job across all pending segments."""
+        t0 = time.time()
+        seg_dir = self._p("segments", f"seg={seg_id:05d}")
+        docs = self._docs_frame(seg_df).persist()
+        per_doc_term = self._pdt_frame(seg_df).persist()
+
+        # The write jobs are mutually independent once per_doc_term / docs
+        # are cached, so they run CONCURRENTLY and the segment tail is the
+        # slowest job (the postings encode), not the sum.  The caches are
+        # materialized FIRST by dedicated jobs: letting the writers race
+        # to build them measured 46% slower at 8 cores (200k docs, 101.6 s
+        # vs 69.4 s serial) because concurrent first-use serializes on the
+        # block manager's per-partition load locks while the blocked tasks
+        # hold task slots — the expensive tokenize pass must run once at
+        # full cluster width before any fan-out.
+        srow = docs.agg(*self._stat_exprs()).collect()[0]
+        per_doc_term.count()
+
+        from concurrent.futures import ThreadPoolExecutor
+        jobs = self._segment_write_jobs(docs, per_doc_term, seg_dir)
         with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
             futs = [ex.submit(j) for j in jobs]
             for f in futs:
                 f.result()
-        num_docs = srow["_n"]
-        field_tokens = {fc.name: int(srow[f"_tok_{fc.name}"] or 0)
-                        for fc, _ in tok_cols}
-        lo_hi = {"lo": srow["_lo"], "hi": srow["_hi"]}
         per_doc_term.unpersist()
         docs.unpersist()
-        return {
-            "action": "add",
-            "segment": seg_id,
-            "num_docs": int(num_docs),
-            "doc_lo": int(lo_hi["lo"]) if lo_hi["lo"] is not None else None,
-            "doc_hi": int(lo_hi["hi"]) if lo_hi["hi"] is not None else None,
-            "field_tokens": field_tokens,
-            "wall_sec": round(time.time() - t0, 3),
-        }
+        return self._action_from_stats(seg_id, srow, t0)
+
+    def _build_segments_batched(self, with_ids: DataFrame,
+                                pending: List[int], nseg: int,
+                                seg_width: Optional[int], lock) -> None:
+        """Build all pending segments from ONE shared tokenize pass.
+
+        The former per-segment loop ran, per segment, a stats-agg job, a
+        cache-materialize count, and 4 write jobs — at 4 segments that is
+        ~24 driver-planned jobs in 2 concurrency waves, and at bench scale
+        the fixed per-job cost (planning + codegen + scheduling) dominated
+        the actual work (guide §1.2 step 1).  Here the docs/per-doc-term
+        frames are computed ONCE over all pending segments with a derived
+        ``_seg`` column (a doc-range function of doc_id — no join), cached,
+        per-segment stats collapse into ONE groupBy("_seg") job, and every
+        segment's write jobs are submitted concurrently so the tail is the
+        slowest single write, not waves of them.  On-disk layout, manifest
+        actions and resume semantics are unchanged (each segment still gets
+        its own directories and its own manifest "add")."""
+        t0 = time.time()
+        src = with_ids
+        if seg_width is not None and len(pending) < nseg:
+            src = with_ids.filter(
+                F.expr(f"doc_id div {seg_width}").isin(pending))
+        seg_col = (F.expr(f"doc_id div {seg_width}") if seg_width is not None
+                   else F.lit(0).cast("long"))
+        cfg = self.config
+        dp = self.spark.sparkContext.defaultParallelism
+        gd = self._docs_frame(src).withColumn("_seg", seg_col).persist()
+        # the pdt frame is a 5-way union -> 5 x dp partitions; every write
+        # job rescans the whole cache, so cache at cluster width (coalesce
+        # is narrow: one task computes the tokenize branch partition plus
+        # its 4 cheap sibling branches) — 3 write jobs x 160 cache-scan
+        # tasks was the measured write-phase bottleneck
+        gpdt = (self._pdt_frame(src).withColumn("_seg", seg_col)
+                .coalesce(dp).persist())
+        # materialize the shared caches at full cluster width, one job each
+        # (see _build_segment for why the writers must not race to build
+        # them); the stats agg doubles as the docs-cache builder
+        dbg = os.environ.get("SPARK_GRAFT_BUILD_DEBUG") == "1"
+
+        def _tlog(label, t_from):
+            if dbg:
+                import sys
+                print(f"[build-batched] {label}: "
+                      f"{time.time() - t_from:.3f}s", file=sys.stderr)
+            return time.time()
+
+        # The two cache-materialize jobs are independent (both read the
+        # with_ids cache; its partitions are cheap to load, so concurrent
+        # first-use lock contention is negligible — unlike the expensive
+        # tokenize cache, which each job builds exclusively for itself).
+        t = time.time()
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+        with _TPE(max_workers=2) as _ex:
+            f_stats = _ex.submit(
+                lambda: gd.groupBy("_seg").agg(*self._stat_exprs()).collect())
+            f_cnt = _ex.submit(gpdt.count)
+            stat_rows = f_stats.result()
+            f_cnt.result()
+        t = _tlog("stats+pdt-cache", t)
+        stats_by_seg = {int(r["_seg"]): r for r in stat_rows}
+
+        # ONE write job per OUTPUT TYPE across all pending segments,
+        # partitioned by _seg and renamed into the per-segment layout —
+        # 4 jobs total instead of 4 x len(pending) concurrent small jobs
+        # (which thrashed the scheduler and let AQE coalesce tiny per-
+        # segment shuffles into 1-task Python encodes).  File contents per
+        # segment are identical: the encode group key gains _seg, and
+        # segment doc ranges are disjoint.
+        tmp = self._p("segments", "_batch_tmp")
+        fsio.delete(self.spark, tmp)
+        pos_fields = [fc.name for fc in cfg.fields if fc.has_positions]
+
+        def _w_postings():
+            enc = _encode_blocks_fn(cfg.block_size, with_scores=False,
+                                    with_seg=True)
+            schema = T.StructType(
+                [T.StructField("_seg", T.LongType())] + _POSTINGS_SCHEMA.fields)
+            (self._key_repartition(
+                gpdt.select("_seg", "field", "term", "shard", "doc_id", "tf",
+                            F.col("norm_id").cast("long").alias("norm_id")),
+                "_seg", "field", "term", "shard")
+             .sortWithinPartitions("_seg", "field", "term", "shard", "doc_id")
+             .mapInPandas(enc, schema)
+             .write.mode("overwrite").partitionBy("_seg")
+             .parquet(fsio.join(tmp, "postings")))
+
+        def _w_termstats():
+            (gpdt.groupBy("_seg", "field", "term")
+             .agg(F.count(F.lit(1)).cast("long").alias("df"),
+                  F.sum("tf").cast("long").alias("total_tf"))
+             .write.mode("overwrite").partitionBy("_seg")
+             .parquet(fsio.join(tmp, "termstats")))
+
+        def _w_docs():
+            # size the docs files to the data (guide §6): 32 tasks each
+            # writing a sliver per segment made 128 tiny files for a 20k-doc
+            # build and cost more in task scheduling than the write itself
+            total_docs = sum(int(r["_n"]) for r in stat_rows)
+            n_out = min(dp, max(1, math.ceil(total_docs / 100_000)))
+            (gd.coalesce(n_out).write.mode("overwrite").partitionBy("_seg")
+             .parquet(fsio.join(tmp, "docs")))
+
+        def _w_positions():
+            (self._key_repartition(
+                gpdt.filter(F.col("field").isin(pos_fields))
+                .select("_seg", "field", "term", "doc_id", "norm_id",
+                        "pos_bin"),
+                "_seg", "field", "term")
+             .sortWithinPartitions("_seg", "field", "term", "doc_id")
+             .write.mode("overwrite").partitionBy("_seg")
+             .parquet(fsio.join(tmp, "positions")))
+
+        from concurrent.futures import ThreadPoolExecutor
+        jobs = [_w_postings, _w_termstats, _w_docs]
+        subs = ["postings", "termstats", "docs"]
+        if pos_fields:
+            jobs.append(_w_positions)
+            subs.append("positions")
+
+        def _timed_job(j, name):
+            tj = time.time()
+            j()
+            _tlog(f"write-{name}", tj)
+
+        with ThreadPoolExecutor(max_workers=len(jobs)) as ex:
+            for f in [ex.submit(_timed_job, j, n) for j, n in zip(jobs, subs)]:
+                f.result()
+        t = _tlog("write-all", t)
+
+        # rename tmp/<sub>/_seg=<sid> -> segments/seg=NNNNN/<sub>
+        for sid in pending:
+            seg_dir = self._p("segments", f"seg={sid:05d}")
+            fsio.makedirs(self.spark, seg_dir)
+            for sub in subs:
+                src_dir = fsio.join(tmp, sub, f"_seg={sid}")
+                dst_dir = fsio.join(seg_dir, sub)
+                fsio.delete(self.spark, dst_dir)
+                if fsio.exists(self.spark, src_dir):
+                    fsio.rename(self.spark, src_dir, dst_dir)
+                else:  # empty segment: keep an empty dir like the old path
+                    fsio.makedirs(self.spark, dst_dir)
+            action = self._action_from_stats(sid, stats_by_seg.get(sid), t0)
+            with lock:
+                self._append_manifest(action)
+        fsio.delete(self.spark, tmp)
+        gpdt.unpersist()
+        gd.unpersist()
 
     # -- merge / finalize ---------------------------------------------------
     def _segment_ok(self, seg_dir: str) -> bool:
@@ -1002,22 +1213,28 @@ class IndexBuilder:
                     "assignment would not match the committed segments; "
                     "build into a fresh index directory instead")
 
+        total = None
         if doc_id_col is None and order_cols is None:
-            # the zipWithIndex path scans the input twice; cache it first
+            # the zipWithIndex path scans the input twice; cache it first.
+            # Row total falls out of the per-partition counts — no extra
+            # max(doc_id) pass.
             df = df.persist()
-        with_ids = assign_doc_ids(df, order_cols=order_cols, doc_id_col=doc_id_col)
+            with_ids, total = _zip_index_ids(df)
+        else:
+            with_ids = assign_doc_ids(df, order_cols=order_cols,
+                                      doc_id_col=doc_id_col)
         with_ids = with_ids.persist()
         nseg = max(1, self.num_segments)
         if nseg > 1:
             # doc-range segments: deterministic, independently committable
-            total = with_ids.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
-            total = int(total) + 1 if total is not None else 0
+            if total is None:
+                m = with_ids.agg(F.max("doc_id").alias("m")).collect()[0]["m"]
+                total = int(m) + 1 if m is not None else 0
             seg_width = max(1, math.ceil(total / nseg))
         else:
             seg_width = None
 
         import threading
-        from concurrent.futures import ThreadPoolExecutor
 
         pending = [sid for sid in range(nseg) if sid not in done]
         manifest_lock = threading.Lock()
@@ -1044,13 +1261,8 @@ class IndexBuilder:
                     raise RuntimeError(
                         f"injected failure after {completed} segments (kill test)")
         elif pending:
-            workers = min(self.segment_concurrency, len(pending))
-            if workers == 1:
-                for sid in pending:
-                    run_segment(sid)
-            else:
-                with ThreadPoolExecutor(max_workers=workers) as ex:
-                    list(ex.map(run_segment, pending))
+            self._build_segments_batched(with_ids, pending, nseg, seg_width,
+                                         manifest_lock)
 
         t_merge = time.time()
         merge_action = self._merge(list(range(nseg)))
