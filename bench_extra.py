@@ -51,6 +51,22 @@ def noop(df):
     df.write.format("noop").mode("overwrite").save()
 
 
+# Appended: docs-table build piece (bench.py step 2 isolation)
+def docs_build_piece(spark, workdir):
+    import time as _t
+    from tantivy4java_spark.build import build_index
+    from tantivy4java_spark.schema import documents_config
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf1.0")
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    docs_dir = os.path.join(workdir, "docs_index")
+    t0 = _t.time()
+    stats = build_index(spark, docs, documents_config(), docs_dir,
+                        doc_id_col="doc_id", num_segments=2)
+    print(f"  build_documents: {_t.time()-t0:.3f}s "
+          f"(seg {stats.segment_wall_sec:.3f} merge {stats.merge_wall_sec:.3f})",
+          flush=True)
+
+
 def main():
     pieces = set(sys.argv[1:]) or {"corpus", "build", "simhash", "stream"}
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -97,6 +113,9 @@ def main():
         _t("simhash_full", lambda: simhash(sh_df, "content", "id", "h")
            .agg(F.count("h")).collect(), out)
 
+    if "docsbuild" in pieces:
+        docs_build_piece(spark, workdir)
+
     if "stream" in pieces:
         sh_df = corpus_df(spark, 1_000_000, min_tokens=30, max_tokens=120) \
             .withColumn("id", F.monotonically_increasing_id())
@@ -116,3 +135,4 @@ def main():
 
 if __name__ == "__main__":
     main()
+

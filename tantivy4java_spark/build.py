@@ -869,7 +869,7 @@ class IndexBuilder:
             # writing a sliver per segment made 128 tiny files for a 20k-doc
             # build and cost more in task scheduling than the write itself
             total_docs = sum(int(r["_n"]) for r in stat_rows)
-            n_out = min(dp, max(1, math.ceil(total_docs / 100_000)))
+            n_out = min(dp, max(min(dp, 4), math.ceil(total_docs / 100_000)))
             (gd.coalesce(n_out).write.mode("overwrite").partitionBy("_seg")
              .parquet(fsio.join(tmp, "docs")))
 
@@ -1223,6 +1223,14 @@ class IndexBuilder:
         else:
             with_ids = assign_doc_ids(df, order_cols=order_cols,
                                       doc_id_col=doc_id_col)
+        # a narrow input (e.g. one modest parquet file -> 1-2 scan splits)
+        # would run the tokenize pass on a fraction of the cluster; widen to
+        # cluster width AFTER doc_id assignment (ids are position/column
+        # derived, so the round-robin shuffle cannot change them).  No-op at
+        # scale, where scan splits >= parallelism (guide §2.5 input skew).
+        dp = self.spark.sparkContext.defaultParallelism
+        if with_ids.rdd.getNumPartitions() < dp:
+            with_ids = with_ids.repartition(dp)
         with_ids = with_ids.persist()
         nseg = max(1, self.num_segments)
         if nseg > 1:
