@@ -2090,12 +2090,18 @@ class IndexSearcher:
                 components.append("positions")
         accessors = {"postings": self.postings, "positions": self.positions,
                      "docs": self.docs, "blockmeta": self.blockmeta}
+        to_pin = []
         for name in components:
             df = accessors[name]() if name in accessors else self._table(name)
             if df is None:  # blockmeta on legacy indexes
                 continue
-            df = df.cache()
-            df.count()  # materialize
+            to_pin.append(df.cache())
+        # distinct tables -> independent materialize jobs; run them
+        # concurrently so the pin wall time is the slowest table, not the sum
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=max(1, len(to_pin))) as ex:
+            for f in [ex.submit(df.count) for df in to_pin]:
+                f.result()
 
     def warmup_query(self, q: Q.Query) -> None:
         """warmupQuery analog (split/SplitSearcher.java:1306)."""
