@@ -30,15 +30,11 @@ def varint_encode_with_lengths(values: np.ndarray):
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b"", np.zeros(0, dtype=np.int64)
-    # number of 7-bit groups per value via bit length (log2-free, exact)
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp[nz] >>= np.uint64(1)
-        nz = tmp > 0
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+    # 7-bit group count per value from 9 fixed threshold compares (the
+    # former shift-until-zero loop made up to 64 full-array passes)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    for k in range(1, 10):
+        nbytes += v >= np.uint64(1 << (7 * k))
     offsets = np.zeros(v.size + 1, dtype=np.int64)
     np.cumsum(nbytes, out=offsets[1:])
     out = np.zeros(offsets[-1], dtype=np.uint8)
