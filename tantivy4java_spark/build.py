@@ -274,14 +274,17 @@ def _json_num_token(v) -> str:
 
 
 def _tokenize_agg_fn(field: str, tokenizer: str, limit: int):
-    """mapInPandas: (doc_id, <field>) -> per-(doc, term) rows with tf,
+    """mapInArrow: (doc_id, <field>) -> per-(doc, term) rows with tf,
     fieldnorm id, and delta-varint positions — all inside ONE narrow pass.
 
     Replaces explode -> shuffle -> groupBy(doc,term) -> collect_list: token
     aggregation is per-document, so it never needs a shuffle.  C-level regex
-    via pandas .str, numpy lexsort/reduceat for grouping; the only per-group
-    Python is byte-buffer slicing.  Token semantics match analysis.py
-    bit-for-bit (positions assigned pre-drop, >limit-byte tokens dropped)."""
+    via pandas .str, numpy factorize/sort for grouping; output batches are
+    assembled as Arrow arrays directly — the pos_bin column reuses the one
+    varint buffer zero-copy via group offsets (groups are contiguous in the
+    sorted slot order), so no per-group Python byte slicing and no pandas
+    frame on the way out.  Token semantics match analysis.py bit-for-bit
+    (positions assigned pre-drop, >limit-byte tokens dropped)."""
     lowercase = True
     if tokenizer in _TOK_REGEX:
         rex = _TOK_REGEX[tokenizer]
@@ -292,25 +295,26 @@ def _tokenize_agg_fn(field: str, tokenizer: str, limit: int):
             raise ValueError(f"unknown tokenizer: {tokenizer}")
         rex, lowercase = cfg_c["match"], cfg_c["lowercase"]
 
-    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if len(pdf) == 0:
+    def run(it):
+        import pyarrow as pa
+        for rb in it:
+            if rb.num_rows == 0:
                 continue
-            texts = pdf[field].fillna("").astype(str)
-            doc_ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            names = rb.schema.names
+            texts = rb.column(names.index(field)).to_pandas() \
+                .fillna("").astype(str)
+            doc_ids = rb.column(names.index("doc_id")) \
+                .to_numpy(zero_copy_only=False).astype(np.int64)
             token_lists = texts.str.findall(rex)
             counts = token_lists.str.len().to_numpy(dtype=np.int64)
             total = int(counts.sum())
             if total == 0:
-                yield pd.DataFrame({k: [] for k in
-                                    ("doc_id", "field", "term", "tf",
-                                     "norm_id", "pos_bin")}).astype(
-                    {"doc_id": "int64", "tf": "int64", "norm_id": "int64"})
                 continue
+            n_rows = rb.num_rows
             flat = np.concatenate(
                 [np.asarray(x, dtype=object) for x in token_lists])
-            doc_rep = np.repeat(np.arange(len(pdf)), counts)
-            offsets = np.zeros(len(pdf), dtype=np.int64)
+            doc_rep = np.repeat(np.arange(n_rows), counts)
+            offsets = np.zeros(n_rows, dtype=np.int64)
             np.cumsum(counts[:-1], out=offsets[1:])
             pos = np.arange(total, dtype=np.int64) - offsets[doc_rep]
             # factorize FIRST: lowercase + the byte-length filter then touch
@@ -336,7 +340,7 @@ def _tokenize_agg_fn(field: str, tokenizer: str, limit: int):
             if not keep_u.all():
                 keep = keep_u[codes]
                 codes, doc_rep, pos = codes[keep], doc_rep[keep], pos[keep]
-                kept_counts = np.bincount(doc_rep, minlength=len(pdf))
+                kept_counts = np.bincount(doc_rep, minlength=n_rows)
             else:
                 kept_counts = counts
             norms = fieldnorm_to_id(kept_counts)
@@ -358,15 +362,28 @@ def _tokenize_agg_fn(field: str, tokenizer: str, limit: int):
             pbuf, plens = codec.varint_encode_with_lengths(gaps)
             poffs = np.zeros(sd.size + 1, dtype=np.int64)
             np.cumsum(plens, out=poffs[1:])
-            pos_bin = [pbuf[poffs[s]:poffs[e]] for s, e in zip(gstart, gend)]
-            yield pd.DataFrame({
-                "doc_id": doc_ids[sd[gstart]],
-                "field": np.repeat(field, gstart.size),
-                "term": uniques[sc[gstart]],
-                "tf": tf,
-                "norm_id": norms[sd[gstart]].astype(np.int64),
-                "pos_bin": pos_bin,
-            })
+            # groups are contiguous in slot order, so the per-group byte
+            # ranges tile pbuf: one offsets gather makes the binary column
+            # ZERO-COPY over the single varint buffer
+            out_n = gstart.size
+            bin_offs = poffs[np.append(gstart, sd.size)].astype(np.int32)
+            pos_bin = pa.Array.from_buffers(
+                pa.binary(), out_n,
+                [None, pa.py_buffer(bin_offs.tobytes()),
+                 pa.py_buffer(pbuf)])
+            term_arr = pa.DictionaryArray.from_arrays(
+                pa.array(sc[gstart].astype(np.int32)),
+                pa.array(uniques)).cast(pa.string())
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(doc_ids[sd[gstart]], type=pa.int64()),
+                 pa.array([field] * out_n, type=pa.string()),
+                 term_arr,
+                 pa.array(tf, type=pa.int64()),
+                 pa.array(norms[sd[gstart]].astype(np.int64),
+                          type=pa.int64()),
+                 pos_bin],
+                names=["doc_id", "field", "term", "tf", "norm_id",
+                       "pos_bin"])
 
     return run
 
@@ -633,7 +650,7 @@ class IndexBuilder:
                 token_frames.append(
                     seg_df.select("doc_id",
                                   self._text_col(fc, seg_df).alias(fc.name))
-                    .mapInPandas(fn, _PDT_SCHEMA))
+                    .mapInArrow(fn, _PDT_SCHEMA))
             elif fc.type == "string" and self._is_array(seg_df, fc.name):
                 # multi-valued keyword: one term per element, tf = element
                 # multiplicity (explode -> groupBy keyed (doc, term))
