@@ -295,32 +295,68 @@ def _tokenize_agg_fn(field: str, tokenizer: str, limit: int):
             raise ValueError(f"unknown tokenizer: {tokenizer}")
         rex, lowercase = cfg_c["match"], cfg_c["lowercase"]
 
+    # Arrow-native tokenize fast path: valid for the default/simple
+    # tokenizer on PURE-ASCII batches, where Python's [^\W_]+ and RE2's
+    # [^0-9A-Za-z]+ splitter agree character-for-character (checked per
+    # batch via chars == bytes, one C++ metadata pass).  Tokens then never
+    # materialize as Python strings: RE2 split + dictionary_encode give
+    # int32 codes + a small uniques dictionary directly.
+    arrow_ok = tokenizer in ("default", "simple")
+
     def run(it):
         import pyarrow as pa
+        import pyarrow.compute as pc
         for rb in it:
             if rb.num_rows == 0:
                 continue
+            n_rows = rb.num_rows
             names = rb.schema.names
-            texts = rb.column(names.index(field)).to_pandas() \
-                .fillna("").astype(str)
+            col = rb.column(names.index(field))
             doc_ids = rb.column(names.index("doc_id")) \
                 .to_numpy(zero_copy_only=False).astype(np.int64)
-            token_lists = texts.str.findall(rex)
-            counts = token_lists.str.len().to_numpy(dtype=np.int64)
-            total = int(counts.sum())
-            if total == 0:
-                continue
-            n_rows = rb.num_rows
-            flat = np.concatenate(
-                [np.asarray(x, dtype=object) for x in token_lists])
-            doc_rep = np.repeat(np.arange(n_rows), counts)
-            offsets = np.zeros(n_rows, dtype=np.int64)
-            np.cumsum(counts[:-1], out=offsets[1:])
-            pos = np.arange(total, dtype=np.int64) - offsets[doc_rep]
-            # factorize FIRST: lowercase + the byte-length filter then touch
-            # only DISTINCT tokens (was: two full .str passes over every
-            # token instance — the single hottest part of the kernel)
-            codes, uniques = pd.factorize(flat)
+            is_ascii = False
+            if arrow_ok:
+                nb = pc.sum(pc.binary_length(col)).as_py() or 0
+                nc = pc.sum(pc.utf8_length(col)).as_py() or 0
+                is_ascii = nb == nc
+            if is_ascii:
+                tl = pc.split_pattern_regex(
+                    pc.fill_null(col, ""), "[^0-9A-Za-z]+")
+                tl = tl.combine_chunks() if isinstance(tl, pa.ChunkedArray) else tl
+                sizes = np.diff(tl.offsets.to_numpy(zero_copy_only=False))
+                vals = tl.values
+                # split keeps "" at value boundaries; findall drops them
+                mask = pc.not_equal(vals, "")
+                mask_np = mask.to_numpy(zero_copy_only=False)
+                doc_rep = np.repeat(np.arange(n_rows), sizes)[mask_np]
+                counts = np.bincount(doc_rep, minlength=n_rows)
+                total = int(doc_rep.size)
+                if total == 0:
+                    continue
+                offsets = np.zeros(n_rows, dtype=np.int64)
+                np.cumsum(counts[:-1], out=offsets[1:])
+                pos = np.arange(total, dtype=np.int64) - offsets[doc_rep]
+                d = pc.dictionary_encode(pc.filter(vals, mask))
+                codes = d.indices.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64)
+                uniques = d.dictionary.to_numpy(zero_copy_only=False)
+            else:
+                texts = col.to_pandas().fillna("").astype(str)
+                token_lists = texts.str.findall(rex)
+                counts = token_lists.str.len().to_numpy(dtype=np.int64)
+                total = int(counts.sum())
+                if total == 0:
+                    continue
+                flat = np.concatenate(
+                    [np.asarray(x, dtype=object) for x in token_lists])
+                doc_rep = np.repeat(np.arange(n_rows), counts)
+                offsets = np.zeros(n_rows, dtype=np.int64)
+                np.cumsum(counts[:-1], out=offsets[1:])
+                pos = np.arange(total, dtype=np.int64) - offsets[doc_rep]
+                # factorize FIRST: lowercase + the byte-length filter then
+                # touch only DISTINCT tokens (was: two full .str passes over
+                # every token instance — the hottest part of the kernel)
+                codes, uniques = pd.factorize(flat)
             uniq = pd.Series(uniques)
             if lowercase:
                 # merge case variants: first-appearance code order is
