@@ -170,8 +170,13 @@ def _build_at(cpus: int, n_docs: int) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-def _probe_worker(kind: str, q, seconds: float) -> None:
+def _probe_worker(kind: str, q, seconds: float, core: int = None) -> None:
     import numpy as np
+    if core is not None:
+        try:  # pin BEFORE the timed loop starts (ADVICE r05: pinning from
+            os.sched_setaffinity(0, {core})  # the parent raced the loop)
+        except OSError:
+            pass
     if kind == "cpu":
         import hashlib
         buf = b"x" * 4096
@@ -206,12 +211,8 @@ def _host_probe(n_small: int, n_large: int, seconds: float = 5.0) -> dict:
         q = mp.Queue()
         ps = []
         for i in range(ncpu):
-            p = mp.Process(target=_probe_worker, args=(kind, q, seconds))
+            p = mp.Process(target=_probe_worker, args=(kind, q, seconds, i))
             p.start()
-            try:
-                os.sched_setaffinity(p.pid, {i})
-            except OSError:
-                pass
             ps.append(p)
         vals = [q.get() for _ in ps]
         for p in ps:
