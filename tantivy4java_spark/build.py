@@ -40,8 +40,9 @@ Scale notes (the design target is ~10^12 files on a multi-executor cluster):
   lists are concatenations, never re-sorts.
 - segments are doc-range slices committed independently -> an interrupted
   build resumes from the manifest without recomputing finished segments.
-- the only shuffles are (a) one repartition by (field,term,shard) per segment
-  and (b) the same key at merge; both scale horizontally with executors.
+- the only shuffles are (a) ONE repartition by (_seg,field,term,shard)
+  across all segments of a batch build and (b) the same key at merge; both
+  scale horizontally with executors.
 - tokenization defaults to the pure-Catalyst expression (whole-stage codegen,
   zero Python); the pandas-UDF path is kept for golden parity tests.
 """
@@ -639,6 +640,25 @@ class IndexBuilder:
             return sql_tokenize_expr(col, fc.tokenizer, fc.token_limit)
         return tokenize_udf(fc.tokenizer, fc.token_limit)(col)
 
+    def _token_len_expr(self, fc: FieldConfig, df: DataFrame):
+        """Kept-token COUNT for the docs-table length column: for the
+        built-in lowercasing tokenizers this skips the per-token
+        struct/position machinery of sql_tokenize_expr and just counts
+        non-empty tokens whose lowercased utf8 length fits the limit —
+        identical to size(sql_tokenize_expr(...)) (positions do not affect
+        the count; the limit filter matches octet_length(lower(t)))."""
+        if self.use_sql_tokenizer and fc.tokenizer in ("default", "simple",
+                                                       "whitespace"):
+            pat = r"[^\p{L}\p{Nd}]+" if fc.tokenizer != "whitespace"                 else r"\s+"
+            col = self._text_col(fc, df).cast("string")
+            lim = F.lit(fc.token_limit)
+            n = F.size(F.filter(
+                F.split(col, pat),
+                lambda t: (t != F.lit(""))
+                & (F.octet_length(F.lower(t)) <= lim)))
+            return F.coalesce(n, F.lit(0))
+        return F.size(self._tokens_expr(fc, df))
+
     # -- segment build ----------------------------------------------------
     def _docs_frame(self, seg_df: DataFrame) -> DataFrame:
         """docs-table projection: ids + sha256 + per-field token
@@ -655,7 +675,7 @@ class IndexBuilder:
                 sel.append(F.when(F.size(F.col(fc.name)) > 0, 1)
                            .otherwise(0).alias(f"len_{fc.name}"))
             else:
-                sel.append(F.size(self._tokens_expr(fc, seg_df))
+                sel.append(self._token_len_expr(fc, seg_df)
                            .alias(f"len_{fc.name}"))
         included = {"doc_id"} | {c for c in cfg.id_cols} | \
             ({"content_sha256"} if cfg.content_col else set())
