@@ -211,15 +211,7 @@ class IndexSearcher:
         applicable; callers fall back to a Spark job."""
         if fsio.has_scheme(self.index_dir):
             return None  # non-posix root: the Spark path handles any scheme
-        path = os.path.join(self.index_dir, table)
-        if not os.path.isdir(path):
-            return None
-        try:
-            import pyarrow.parquet as pq
-            return pq.read_table(path, filters=filters,
-                                 columns=columns).to_pandas()
-        except Exception:
-            return None
+        return self._local_parquet([table], filters, columns)
 
     def term_dfs(self, pairs: Sequence[Tuple[str, str]]) -> Dict[Tuple[str, str], int]:
         missing = [p for p in pairs if p not in self._df_cache]
@@ -1172,23 +1164,65 @@ class IndexSearcher:
     _POSTING_BLOCK_COLS = ["field", "term", "first_doc", "count",
                            "docs_bin", "tfs_bin", "norms_bin"]
 
+    def _local_dataset(self, dirs: List[str]):
+        """Memoized pyarrow dataset over index table dir(s) — the
+        file-listing + footer-metadata analog of the reference's split
+        cache: repeated fast-path queries stop re-opening and re-parsing
+        every parquet footer (measured ~half the per-query latency).  The
+        file SET is pinned at first use, mirroring preload()'s Spark-side
+        cache semantics; a new IndexSearcher sees new files."""
+        key = tuple(dirs)
+        cache = self.__dict__.setdefault("_pq_ds_cache", {})
+        if key not in cache:
+            import pyarrow.dataset as pads
+            paths = [os.path.join(self.index_dir, d) for d in dirs]
+            if not all(os.path.isdir(p) for p in paths):
+                cache[key] = None
+            elif len(paths) == 1:
+                cache[key] = pads.dataset(paths[0], format="parquet")
+            else:  # multiple dirs (per-segment tables): union dataset
+                cache[key] = pads.dataset(
+                    [pads.dataset(p, format="parquet") for p in paths])
+        return cache[key]
+
+    @staticmethod
+    def _pads_filter(filters):
+        """DNF tuple filters -> pyarrow.dataset expression."""
+        if not filters:
+            return None
+        import pyarrow.dataset as pads
+        expr = None
+        for col, op, val in filters:
+            f = pads.field(col)
+            if op == "in":
+                e = f.isin(list(val))
+            elif op == "==":
+                e = f == val
+            elif op == ">":
+                e = f > val
+            elif op == ">=":
+                e = f >= val
+            elif op == "<":
+                e = f < val
+            elif op == "<=":
+                e = f <= val
+            else:
+                raise ValueError(f"unsupported filter op: {op}")
+            expr = e if expr is None else expr & e
+        return expr
+
     def _local_parquet(self, dirs: List[str], filters,
                        columns: List[str]) -> Optional[pd.DataFrame]:
         """Driver-side pyarrow read over index table dir(s), row-group
         pruned.  None when any dir is unreadable locally."""
         try:
-            import pyarrow.parquet as pq
-            parts = []
-            for d in dirs:
-                p = os.path.join(self.index_dir, d)
-                if not os.path.isdir(p):
-                    return None
-                parts.append(pq.read_table(
-                    p, filters=filters, columns=columns).to_pandas())
+            ds = self._local_dataset(dirs)
+            if ds is None:
+                return None
+            return ds.to_table(filter=self._pads_filter(filters),
+                               columns=columns).to_pandas()
         except Exception:
             return None
-        return pd.concat(parts, ignore_index=True) if len(parts) > 1 \
-            else parts[0]
 
     def _local_postings_blocks(self, pairs) -> Optional[pd.DataFrame]:
         """Posting blocks for (field, term) pairs read driver-side (pyarrow,
